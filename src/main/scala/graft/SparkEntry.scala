@@ -1,13 +1,572 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Similarity, Text}
+import graft.functions.Literals
+import graft.graph.{Canonicalize, TypeClosure}
+import graft.ops.{Ann, Dedup, TextStats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible is registered
+  * here with a DuckDB oracle; the KG-pipeline stages that need synthetic
+  * pages/KG inputs are exercised in ScalaTest goldens
+  * (src/test/scala/graft/) and by `entry`.
+  *
+  * Oracle-parity rules (driver hashes values after sorting columns by name):
+  *  - every computed column aliased identically on both sides
+  *  - counts/sizes cast to BIGINT on the Spark side (DuckDB len()/count()
+  *    are BIGINT; Spark size()/row_number() are INT)
+  *  - doubles rounded (6 dp for scores, 2 dp for money sums)
+  *  - every query totally ordered by a unique key
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared SQL fragments (generated from the same Scala constants the
+  //      Column expressions use, so the two sides cannot drift) ----
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ",", "]")
+  private def cleanSql(x: String): String =
+    s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
+  private def tokSetSql(x: String): String =
+    s"list_distinct(string_split(${cleanSql(x)}, ' '))"
+  private val stopwordsSql = sqlList(Text.EnglishStopwords)
+
+  /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_lookup_candidates")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // queries
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A: aggregations (SURVEY §2.4) ----
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_summary_topk" -> ((s, dir) => {
+      // A13: summary top-k by count (summary_retriever.py:14-21)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
+    "q_distinct_flags" -> ((s, dir) => {
+      // A14: distinct
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+        .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- J: joins (SURVEY §2.3) ----
+    "q_join_agg" -> ((s, dir) => {
+      // J1-style equi join + agg; customer side broadcast (small dim)
+      t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      // J8/T4: left_anti (skip-existing semantics)
+      t(s, dir, "customer").join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      // J1 filtering form: left_semi (EXISTS)
+      t(s, dir, "part").join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
+    }),
+
+    // ---- T: set ops (SURVEY §2.6) ----
+    "q_except_nations" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_union_nations" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy(col("nationkey"))
+    }),
+
+    // ---- O/W: sorts, top-k, windows (SURVEY §2.5, A7, F5) ----
+    "q_topk_acctbal" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rank"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("running"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_pos_score" -> ((s, dir) => {
+      // F5: pos_score = rank/N within group (elastic.py:98)
+      val w = Window.partitionBy(col("s_nationkey"))
+      val wo = w.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, dir, "supplier")
+        .withColumn("pos_score",
+          round(row_number().over(wo).cast("double") / count(lit(1)).over(w), 6))
+        .select(col("s_suppkey"), col("s_nationkey"), col("pos_score"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- F: scalar functions (SURVEY §2.7) ----
+    "q_clean_str" -> ((s, dir) => {
+      // F1: clean_str — the normalization every score depends on
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.cleanStr(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_edit_distance" -> ((s, dir) => {
+      // F2: 1 - lev/max(len) (utils.py:14-15)
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          round(Similarity.editDistanceScore(lower(col("p_name")), lower(col("p_type"))), 6)
+            .as("ed_score"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_token_jaccard" -> ((s, dir) => {
+      // F3: token Jaccard with MAX denominator (utils.py:48-68)
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("k"), col("p_name").as("name_a"))
+      val b = p.select((col("p_partkey") - 1).as("k"), col("p_name").as("name_b"))
+      a.join(b, "k")
+        .select(col("k"),
+          round(Similarity.tokenJaccard(col("name_a"), col("name_b")), 6).as("jaccard_score"))
+        .orderBy(col("k"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // F4: char-3-gram Jaccard, max denominator
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("k"), col("p_name").as("name_a"))
+      val b = p.select((col("p_partkey") - 1).as("k"), col("p_name").as("name_b"))
+      a.join(b, "k")
+        .select(col("k"),
+          round(Similarity.ngramJaccard(col("name_a"), col("name_b"), 3), 6)
+            .as("ngram_score"))
+        .orderBy(col("k"))
+    }),
+
+    "q_literal_classify" -> ((s, dir) => {
+      // F10/N3: ordered regex cascade + xsd mapping
+      val e = t(s, dir, "events")
+      val lit8 = col("event_id") % 8
+      val litCol = when(lit8 === 0, date_format(col("ts"), "yyyy-MM-dd"))
+        .when(lit8 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(lit8 === 2, date_format(col("ts"), "HH:mm:ss"))
+        .when(lit8 === 3, concat(lit("http://example.com/"), col("event_type")))
+        .when(lit8 === 4, concat(col("event_type"), lit("@example.com")))
+        .when(lit8 === 5, concat(regexp_extract(col("props"), "[0-9]+", 0), lit(".5")))
+        .when(lit8 === 6, regexp_extract(col("props"), "[0-9]+", 0))
+        .otherwise(col("event_type"))
+      val classified = e.withColumn("literal", litCol)
+        .withColumn("label", Literals.classify(col("literal")))
+      classified
+        .select(col("event_id"), col("literal"), col("label"),
+          Literals.xsd(col("label")).as("xsd_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- text analysis ops (training-data pipeline) ----
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup ops ----
+    "q_dedup_exact" -> ((s, dir) => {
+      // planted exact duplicates (doc_id+1000000) so the check is non-trivial
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exact(docs.union(planted), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_minhash_pairs" -> ((s, dir) => {
+      // MinHash-LSH near-dup; engine-defined hashing ⇒ rows-only oracle.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numPerms = 32, bands = 16, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_simhash_pairs" -> ((s, dir) => {
+      // SimHash near-dup; engine-defined hashing ⇒ rows-only oracle.
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_embed_pairs" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN; engine-defined hyperplanes ⇒ rows-only oracle.
+      val embs = t(s, dir, "embeddings")
+      Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5, nBits = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- graph ops (SURVEY §2.3 J6, §4.3) ----
+    "q_closure" -> ((s, dir) => {
+      // J6: transitive closure by iterative self-join (infer_types.py:89-104)
+      val edges = t(s, dir, "part").filter(col("p_partkey") > 0)
+        .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+      TypeClosure.closure(edges).orderBy(col("child"), col("ancestor"))
+    }),
+
+    "q_components" -> ((s, dir) => {
+      // north-rule stage 10: connected components, min-label canonical id.
+      // Edges: chain of consecutive customers per nation ⇒ component = the
+      // nation's min custkey (the SQL oracle exploits that closed form).
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      val edges = t(s, dir, "customer")
+        .withColumn("prev", lag(col("c_custkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("c_custkey").as("dst"))
+      Canonicalize.connectedComponents(edges).orderBy(col("node"))
+    }),
+
+    // ---- flagship: lookup candidate-gen + scoring + top-k (SURVEY §3.1) ----
+    "q_lookup_candidates" -> ((s, dir) => {
+      // mentions = token-swapped part names (deterministic "noisy surface
+      // forms"); index = part names; token inverted-index join → ed/jaccard
+      // scoring → per-mention top-3 (lookup_retriever.py §2.8 semantics)
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), lower(col("p_name")).as("name"))
+      val mentions = parts.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("mention_id"),
+          concat_ws(" ",
+            element_at(split(col("name"), " "), 2),
+            element_at(split(col("name"), " "), 1)).as("mention"))
+      val mtok = mentions.select(col("mention_id"), col("mention"),
+        explode(Text.tokenSet(col("mention"))).as("tok"))
+      val ptok = parts.select(col("p_partkey"), col("name"),
+        explode(Text.tokenSet(col("name"))).as("tok"))
+      val cands = mtok.join(ptok, "tok")
+        .select(col("mention_id"), col("mention"), col("p_partkey"), col("name"))
+        .distinct()
+      val scored = cands
+        .withColumn("ed", Similarity.editDistanceScore(col("mention"), col("name")))
+        .withColumn("jac", Similarity.tokenJaccard(col("mention"), col("name")))
+      val w = Window.partitionBy(col("mention_id"))
+        .orderBy((col("ed") + col("jac")).desc, col("p_partkey"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("mention_id"), col("mention"), col("p_partkey").as("cand_id"),
+          round(col("ed"), 6).as("ed_score"), round(col("jac"), 6).as("jaccard_score"),
+          col("rank"))
+        .orderBy(col("mention_id"), col("rank"))
+    })
+  )
+
+  // =====================================================================
+  // oracleSql — DuckDB equivalents. Keys absent here ⇒ rows-only check
+  // (engine-defined hashing: q_minhash_pairs, q_simhash_pairs, q_ann_lsh).
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q_summary_topk" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1 ORDER BY n DESC, event_type""",
+
+    "q_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1,2",
+
+    "q_join_agg" ->
+      """SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+
+    "q_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+                WHERE s_acctbal > 8000
+         ORDER BY nationkey""",
+
+    "q_union_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
+
+    "q_topk_acctbal" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+           FROM customer) WHERE rank <= 3 ORDER BY c_mktsegment, rank""",
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running
+         FROM events ORDER BY event_id""",
+
+    "q_pos_score" ->
+      """SELECT s_suppkey, s_nationkey,
+         round(CAST(row_number() OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY s_nationkey), 6) AS pos_score
+         FROM supplier ORDER BY s_suppkey""",
+
+    "q_clean_str" ->
+      s"SELECT doc_id, ${cleanSql("text")} AS clean FROM documents ORDER BY doc_id",
+
+    "q_edit_distance" ->
+      """SELECT p_partkey,
+         round(1.0 - CAST(levenshtein(lower(p_name), lower(p_type)) AS DOUBLE)
+           / greatest(length(p_name), length(p_type), 1), 6) AS ed_score
+         FROM part ORDER BY p_partkey""",
+
+    "q_token_jaccard" -> {
+      val ta = tokSetSql("a.p_name"); val tb = tokSetSql("b.p_name")
+      s"""SELECT a.p_partkey AS k,
+          round(CAST(len(list_intersect($ta, $tb)) AS DOUBLE)
+            / greatest(len($ta), len($tb), 1), 6) AS jaccard_score
+          FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+          ORDER BY k"""
+    },
+
+    "q_ngram_jaccard" -> {
+      def grams(x: String) =
+        s"""list_distinct(flatten([CASE WHEN length(tk) < 3 THEN [tk]
+            ELSE [substring(tk, i, 3) for i in range(1, length(tk)-1)] END
+            for tk in string_split(${cleanSql(x)}, ' ')]))"""
+      s"""WITH g AS (
+            SELECT a.p_partkey AS k, ${grams("a.p_name")} AS ga, ${grams("b.p_name")} AS gb
+            FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1)
+          SELECT k, round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+            / greatest(len(ga), len(gb), 1), 6) AS ngram_score
+          FROM g ORDER BY k"""
+    },
+
+    "q_literal_classify" -> {
+      val litExpr =
+        """(CASE event_id % 8
+            WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+            WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+            WHEN 2 THEN strftime(ts, '%H:%M:%S')
+            WHEN 3 THEN 'http://example.com/' || event_type
+            WHEN 4 THEN event_type || '@example.com'
+            WHEN 5 THEN regexp_extract(props, '[0-9]+') || '.5'
+            WHEN 6 THEN regexp_extract(props, '[0-9]+')
+            ELSE event_type END)"""
+      s"""WITH c AS (SELECT event_id, $litExpr AS literal FROM events),
+          l AS (SELECT event_id, literal, ${Literals.classifySql("literal")} AS label FROM c)
+          SELECT event_id, literal, label, ${Literals.xsdSql("label")} AS xsd_type
+          FROM l ORDER BY event_id"""
+    },
+
+    "q_lang_id" -> {
+      val scores = TextStats.Markers.map { case (lang, ms) =>
+        s"len(list_intersect(toks, ${sqlList(ms)})) AS s_$lang"
+      }.mkString(", ")
+      val best = "greatest(s_de, s_en, s_es, s_fr)"
+      s"""WITH t AS (SELECT doc_id, text, ${tokSetSql("text")} AS toks FROM documents),
+          s AS (SELECT doc_id, text, $scores FROM t)
+          SELECT doc_id,
+            CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10
+                      >= length(text) THEN 'zh'
+                 WHEN $best = 0 THEN 'und'
+                 WHEN s_de = $best THEN 'de'
+                 WHEN s_en = $best THEN 'en'
+                 WHEN s_es = $best THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM s ORDER BY doc_id"""
+    },
+
+    "q_quality" ->
+      s"""SELECT doc_id, round((
+            least(CAST(greatest(length(text),1) AS DOUBLE)/500.0, 1.0)
+          + CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+              / greatest(length(text),1)
+          + least(CAST(len(list_intersect(${tokSetSql("text")}, $stopwordsSql)) AS DOUBLE)/4.0, 1.0)
+          ) / 3.0, 6) AS quality
+          FROM documents ORDER BY doc_id""",
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+          len(string_split(${cleanSql("text")}, ' ')) AS n_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpeish
+          FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, md5(${cleanSql("text")}) AS fp FROM documents ORDER BY doc_id",
+
+    "q_dedup_exact" ->
+      s"""WITH d2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+          SELECT md5(${cleanSql("text")}) AS fp, min(doc_id) AS keep_id,
+                 count(*) AS n_copies
+          FROM d2 GROUP BY 1 ORDER BY fp""",
+
+    "q_dedup_jaccard" -> {
+      s"""WITH tok AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+                       FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                            for i in range(1, len(toks)-1)]) END AS s
+                 FROM tok),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))) AS j
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, round(j, 6) AS jaccard
+          FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
+    },
+
+    "q_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+         s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+               FROM q, c WHERE n_id <> q_id),
+         r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+               FROM s)
+         SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q_closure" ->
+      """WITH RECURSIVE e AS (
+           SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey > 0),
+         cl AS (
+           SELECT child, parent AS ancestor FROM e
+           UNION
+           SELECT cl.child, e.parent AS ancestor FROM cl JOIN e ON cl.ancestor = e.child)
+         SELECT child, ancestor FROM cl ORDER BY child, ancestor""",
+
+    "q_components" ->
+      """WITH m AS (SELECT c_nationkey, count(*) AS n, min(c_custkey) AS mn
+                    FROM customer GROUP BY 1)
+         SELECT c_custkey AS node, mn AS component
+         FROM customer JOIN m USING (c_nationkey)
+         WHERE n >= 2 ORDER BY node""",
+
+    "q_lookup_candidates" -> {
+      val mt = tokSetSql("mention"); val nt = tokSetSql("name")
+      s"""WITH parts AS (SELECT p_partkey, lower(p_name) AS name FROM part),
+          mentions AS (
+            SELECT p_partkey AS mention_id,
+                   string_split(name,' ')[2] || ' ' || string_split(name,' ')[1] AS mention
+            FROM parts WHERE p_partkey % 7 = 0),
+          mtok AS (SELECT mention_id, mention, unnest(${tokSetSql("mention")}) AS tok FROM mentions),
+          ptok AS (SELECT p_partkey, name, unnest(${tokSetSql("name")}) AS tok FROM parts),
+          cand AS (SELECT DISTINCT m.mention_id, m.mention, p.p_partkey, p.name
+                   FROM mtok m JOIN ptok p USING (tok)),
+          scored AS (SELECT mention_id, mention, p_partkey, name,
+              1.0 - CAST(levenshtein(mention, name) AS DOUBLE)
+                / greatest(length(mention), length(name), 1) AS ed,
+              CAST(len(list_intersect($mt, $nt)) AS DOUBLE)
+                / greatest(len($mt), len($nt), 1) AS jac
+            FROM cand),
+          ranked AS (SELECT mention_id, mention, p_partkey, ed, jac,
+              row_number() OVER (PARTITION BY mention_id
+                                 ORDER BY ed + jac DESC, p_partkey) AS rank
+            FROM scored)
+          SELECT mention_id, mention, p_partkey AS cand_id,
+                 round(ed, 6) AS ed_score, round(jac, 6) AS jaccard_score, rank
+          FROM ranked WHERE rank <= 3 ORDER BY mention_id, rank"""
+    }
+  )
 }

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-components canonicalization (north-rule stage 10).
+  *
+  * The reference dedups candidates per entity id only
+  * (`lamapi/retrievers/lookup_retriever.py:304-311`); component-level
+  * canonicalization is new. Semantics: over the undirected graph of
+  * same-as / link edges, every node gets the component's minimum label
+  * (deterministic min-QID tie-breaking per SURVEY.md §4.3 — a total order
+  * on labels, never partition order).
+  *
+  * Algorithm: min-label propagation with **pointer jumping** (each round:
+  * adopt the min of your neighbors' labels, then compress
+  * label ← label(label) twice). Plain propagation needs O(diameter)
+  * rounds — fatal on chain-shaped components; pointer jumping converges in
+  * O(log d) rounds like the large-star/small-star method (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+  *
+  * Scale notes: every round is shuffle joins keyed on node/label; nothing
+  * is collected to the driver; `localCheckpoint` truncates lineage so the
+  * plan stays O(1) per round. Label skew (a giant component funnels to one
+  * label key) is bounded because joins are on node ids, not labels, except
+  * the pointer-jump lookup whose build side is the (distinct-label) table —
+  * AQE skew-split is the backstop.
+  */
+object Canonicalize {
+
+  /** @param edges (src, dst) undirected edges (string or numeric labels)
+    * @return (node, component) — component = min node label reachable. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 24): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      // 1) neighbor-label min
+      val nbrMin = sym
+        .join(labels, sym("v") === labels("node"))
+        .groupBy(sym("u").as("node"))
+        .agg(min(col("component")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // 2) pointer jumping ×2: component ← label(component)
+      val jumped = (1 to 2).foldLeft(stepped) { (cur, _) =>
+        val lab = cur.select(col("node").as("l_node"), col("component").as("l_comp"))
+        cur.join(lab, cur("component") === lab("l_node"), "left")
+          .select(cur("node"),
+            least(cur("component"), coalesce(col("l_comp"), cur("component")))
+              .as("component"))
+      }
+      val updated = jumped.localCheckpoint(eager = true)
+      val noneChanged = updated.as("u").join(labels.as("o"), "node")
+        .filter(col("u.component") =!= col("o.component"))
+        .isEmpty
+      labels = updated
+      if (noneChanged) converged = true
+      i += 1
+    }
+    labels
+  }
+}
