@@ -88,7 +88,10 @@ object Text {
   /** BoW token set: cleaned tokens, alphanumeric-only, stopwords removed,
     * sorted distinct — `bow_retriever.py:30-38`. */
   def bowTokens(c: Column): Column = {
-    val alnum = filter(tokens(c), t => t.rlike("^[a-z0-9]+$"))
+    // punctuation → token boundaries first (≈ NLTK word_tokenize splitting
+    // "car!" into ["car","!"], whose non-alnum pieces are then dropped)
+    val alnum = filter(tokens(regexp_replace(lower(c), "[^a-z0-9']+", " ")),
+      t => t.rlike("^[a-z0-9']+$"))
     array_sort(array_distinct(array_except(alnum, lit(EnglishStopwords.toArray))))
   }
 

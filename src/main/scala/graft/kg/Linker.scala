@@ -1,0 +1,285 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Similarity, Text}
+
+/** Lookup / linking configuration — the parameter surface of
+  * `LookupRetriever.search` (`lamapi/retrievers/lookup_retriever.py:13-29`).
+  * `saltShards` / `hotTokenDf` are our scale knobs (north rule: salted
+  * shuffle joins for skewed tokens).
+  */
+case class LinkerConfig(
+    limit: Int = 1000,
+    fuzzy: Boolean = false,
+    kind: Option[String] = None,
+    nerTypes: Seq[String] = Nil,
+    types: Seq[String] = Nil,          // explicit_types filter
+    extendedTypes: Seq[String] = Nil,
+    language: Option[String] = None,
+    softFiltering: Boolean = false,
+    saltShards: Int = 8,
+    hotTokenDf: Long = 100000L,
+    maxGramDf: Long = 500000L)
+
+/** Stages 7-9 — candidate generation, scoring, top-k: the distributed
+  * re-realization of the reference's lookup
+  * (`lookup_retriever.py` + `elastic.py`; SURVEY.md §3.1).
+  *
+  * One DataFrame DAG replaces 2 HTTP + 3 Mongo round-trips per mention:
+  * distinct mentions → token inverted-index join (salted on hot tokens) →
+  * per-(mention,name-row) match stats → feature columns → per-mention
+  * window (pos/es normalization, top-k) → per-entity best-variant dedup.
+  *
+  * Scoring model: every reference feature is reproduced exactly from its
+  * formula (ed/jaccard/ngram/popularity/pos/ambiguity/corrects —
+  * `utils.py:14-68`, `elastic.py:83-106`, `lookup_retriever.py:214-311`)
+  * except `es_score`, whose ES-BM25 value is not reproducible without ES
+  * (SURVEY.md §7.5.2); we substitute a deterministic lexical score:
+  *   raw = Σ_{matched index tokens} ln(1 + N/df(token))
+  *         (+ soft-filter should-boosts 2.0/1.5/1.2, × penalties 0.1/0.2 —
+  *          `create_query`:535-610)     es_score = raw / max raw per mention.
+  * Candidate order and the top-`limit` cut use popularity desc (the
+  * reference's ES `sort:[{popularity:desc}]`, :496-498) with (raw desc,
+  * id asc, name_clean asc) as the deterministic tie-break.
+  *
+  * Fuzzy mode mirrors ES `fuzziness:auto` (0 edits for token length<3,
+  * ≤1 for 3-5, ≤2 for ≥6) via the 3-gram posting join + gram-count prune +
+  * exact `levenshtein` re-check.
+  */
+object Linker {
+
+  /** ES AUTO fuzziness: max edits allowed for a token of given length. */
+  def autoFuzzEdits(len: Column): Column =
+    when(len < 3, 0).when(len < 6, 1).otherwise(2)
+
+  /** Distinct-mention pre-pass (the batch replacement of the reference's
+    * query cache C1): every distinct mention_norm computed once. */
+  def distinctMentions(mentions: DataFrame): DataFrame =
+    mentions.select(col("mention_norm")).filter(col("mention_norm") =!= "").distinct()
+
+  /** Exact token matches: (mention_norm, name_row_id, token), salted on
+    * hot tokens so one mega-posting token cannot pin a shuffle partition.
+    * @param postings (token, name_row_id) */
+  def exactTokenMatches(spark: SparkSession, mentionsD: DataFrame,
+                        postings: DataFrame, cfg: LinkerConfig): DataFrame = {
+    import spark.implicits._
+    val mtok = mentionsD
+      .select(col("mention_norm"), explode(Text.tokenSet(col("mention_norm"))).as("token"))
+
+    // hot tokens by posting-list length (computed once per run; tiny result)
+    val hot = postings.groupBy("token").count()
+      .filter(col("count") >= cfg.hotTokenDf)
+      .select("token").as[String].collect().toSet
+
+    if (hot.isEmpty) {
+      mtok.join(postings, Seq("token"))
+        .select(col("mention_norm"), col("name_row_id"), col("token"))
+    } else {
+      val hotArr = typedLit(hot.toSeq.sorted)
+      val s = cfg.saltShards
+      // posting side: hot tokens replicated into s shards, cold salt=0
+      val p = postings.withColumn("salt",
+        when(array_contains(hotArr, col("token")),
+          explode(sequence(lit(0), lit(s - 1)))).otherwise(lit(0)))
+      // mention side: deterministic shard by mention hash
+      val m = mtok.withColumn("salt",
+        when(array_contains(hotArr, col("token")),
+          pmod(xxhash64(col("mention_norm")), lit(s)).cast("int")).otherwise(lit(0)))
+      m.join(p, Seq("token", "salt"))
+        .select(col("mention_norm"), col("name_row_id"), col("token"))
+    }
+  }
+
+  /** Fuzzy token matches via 3-gram postings: (mention_norm, name_row_id,
+    * token) where an index token is within AUTO edit distance of a mention
+    * token. Gram-count lower bound prunes before the levenshtein check.
+    * @param postings3g (gram, token, name_row_id) */
+  def fuzzyTokenMatches(mentionsD: DataFrame, postings3g: DataFrame,
+                        cfg: LinkerConfig): DataFrame = {
+    val mtok = mentionsD
+      .select(col("mention_norm"), explode(Text.tokenSet(col("mention_norm"))).as("mtok"))
+      .filter(length(col("mtok")) >= 3)
+      .select(col("mention_norm"), col("mtok"),
+        explode(Text.tokenNgrams(col("mtok"), 3)).as("gram"))
+      .distinct()
+
+    // prune ultra-common grams (bounded fan-out; documented cap)
+    val gramDf = postings3g.groupBy("gram").count()
+    val p3 = postings3g.join(gramDf.filter(col("count") <= cfg.maxGramDf), Seq("gram"))
+      .select("gram", "token", "name_row_id")
+
+    val shared = mtok.join(p3, Seq("gram"))
+      .groupBy(col("mention_norm"), col("mtok"), col("token"), col("name_row_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+
+    val d = autoFuzzEdits(length(col("mtok")))
+    shared
+      // |shared 3-grams| ≥ max(|a|,|b|) − 2 − 3·d is necessary for lev ≤ d
+      .filter(col("shared_grams") >=
+        greatest(length(col("mtok")), length(col("token"))) - lit(2) - lit(3) * d)
+      .filter(levenshtein(col("mtok"), col("token")) <= d)
+      .select(col("mention_norm"), col("name_row_id"), col("token"))
+      .distinct()
+  }
+
+  /** Candidate rows with match stats + every name-index column.
+    * idfByToken: (token, idf) — precomputed from postings
+    * (`idf(t) = ln(1 + N/df(t))`, N = #name rows). */
+  def candidateRows(matches: DataFrame, names: DataFrame,
+                    idfByToken: DataFrame): DataFrame = {
+    val stats = matches
+      .join(idfByToken, Seq("token"), "left")
+      .groupBy(col("mention_norm"), col("name_row_id"))
+      .agg(
+        count(lit(1)).as("matched_tokens"),
+        sum(coalesce(col("idf"), lit(0.0))).as("idf_sum"))
+    stats.join(names, Seq("name_row_id"))
+  }
+
+  /** Full per-mention lookup: returns the 18-feature candidate table of
+    * `lookup_retriever.py:278-302` (+ mention_norm, rank). One row per
+    * (mention, entity) after A7 best-variant dedup; ≤ cfg.limit rows per
+    * mention, ordered by popularity desc.
+    *
+    * @param typeNames optional (entity → en label) of kind='type' items for
+    *                  the types enrichment join (J5); pass names of items. */
+  def lookup(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
+             cfg: LinkerConfig = LinkerConfig()): DataFrame = {
+    val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
+
+    val nRows = index.names.count().toDouble
+    val idf = index.postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), log(lit(1.0) + lit(nRows) / col("df")).as("idf"))
+
+    val exact = exactTokenMatches(spark, mentionsD, index.postings, cfg)
+    val matches =
+      if (cfg.fuzzy) exact.union(fuzzyTokenMatches(mentionsD, index.postings3g, cfg)).distinct()
+      else exact
+
+    val cand = candidateRows(matches, index.names, idf)
+
+    // ---- deterministic lexical raw score (es_score substitute) ----
+    val exactBoost = when(col("name_clean") === col("mention_norm") && !lit(cfg.fuzzy), 2.0)
+      .otherwise(1.0)
+    val softBoost =
+      if (!cfg.softFiltering) lit(0.0)
+      else {
+        val ner = if (cfg.nerTypes.nonEmpty)
+          when(col("ner_type").isin(cfg.nerTypes: _*), 2.0).otherwise(0.0) else lit(0.0)
+        val expl = if (cfg.types.nonEmpty)
+          when(arrays_overlap(col("explicit_types"), typedLit(cfg.types)), 1.5)
+            .otherwise(0.0) else lit(0.0)
+        val ext = if (cfg.extendedTypes.nonEmpty)
+          when(arrays_overlap(col("extended_types"), typedLit(cfg.extendedTypes)), 1.2)
+            .otherwise(0.0) else lit(0.0)
+        ner + expl + ext
+      }
+    val penalty =
+      if (!cfg.softFiltering) lit(1.0)
+      else {
+        val p1 = if (cfg.types.nonEmpty)
+          when(!arrays_overlap(col("explicit_types"), typedLit(cfg.types)), 0.1)
+            .otherwise(1.0) else lit(1.0)
+        val p2 = if (cfg.extendedTypes.nonEmpty)
+          when(!arrays_overlap(col("extended_types"), typedLit(cfg.extendedTypes)), 0.2)
+            .otherwise(1.0) else lit(1.0)
+        p1 * p2
+      }
+    val scored0 = cand.withColumn("es_raw",
+      (col("idf_sum") * exactBoost + softBoost) * penalty)
+
+    // ---- ambiguity features from the UNFILTERED match set (A5/A6,
+    //      `_get_ambiguity_mention`:214-234, cut to top-limit by es_raw) ----
+    val wAmb = Window.partitionBy(col("mention_norm"))
+      .orderBy(col("es_raw").desc, col("id").asc, col("name_clean").asc)
+    val ambTop = scored0
+      .withColumn("amb_rank", row_number().over(wAmb))
+      .filter(col("amb_rank") <= cfg.limit)
+    val ambiguity = ambTop.groupBy("mention_norm").agg(
+      (countDistinct(when(col("name_clean") === col("mention_norm"), col("id")))
+        .cast("double") / countDistinct(col("id"))).as("ambiguity_mention"),
+      (size(array_intersect(
+        array_distinct(flatten(collect_list(split(col("name_clean"), " ")))),
+        Text.tokenSet(first(col("mention_norm"))))).cast("double") /
+        greatest(size(Text.tokenSet(first(col("mention_norm")))), lit(1)))
+        .as("corrects_tokens"))
+
+    // ---- hard filters (P3-P7) ----
+    val filtered0 = Seq[Option[Column]](
+      cfg.kind.map(k => col("kind") === k),
+      if (!cfg.softFiltering && cfg.nerTypes.nonEmpty)
+        Some(col("ner_type").isin(cfg.nerTypes: _*)) else None,
+      if (!cfg.softFiltering && cfg.types.nonEmpty)
+        Some(arrays_overlap(col("explicit_types"), typedLit(cfg.types))) else None,
+      if (!cfg.softFiltering && cfg.extendedTypes.nonEmpty)
+        Some(arrays_overlap(col("extended_types"), typedLit(cfg.extendedTypes))) else None,
+      cfg.language.map(l => array_contains(col("languages"), l))
+    ).flatten.foldLeft(scored0)((df, p) => df.filter(p))
+
+    // ---- popularity-sorted cut + pos/es normalization (O1/O2, F5/F6) ----
+    val wPop = Window.partitionBy(col("mention_norm"))
+      .orderBy(col("popularity_norm").desc, col("es_raw").desc,
+        col("id").asc, col("name_clean").asc)
+    val wMention = Window.partitionBy(col("mention_norm"))
+    val cut = filtered0
+      .withColumn("pos", row_number().over(wPop))
+      .filter(col("pos") <= cfg.limit)
+      .withColumn("n_hits", count(lit(1)).over(wMention))
+      .withColumn("pos_score", col("pos").cast("double") / col("n_hits"))
+      .withColumn("es_score", col("es_raw") / max(col("es_raw")).over(wMention))
+
+    // ---- similarity features (F2-F4) ----
+    val feat = cut
+      .withColumn("ed_score",
+        Similarity.editDistanceScore(col("name_clean"), col("mention_norm")))
+      .withColumn("jaccard_score",
+        Similarity.tokenJaccard(col("name_clean"), col("mention_norm")))
+      .withColumn("jaccardNgram_score",
+        Similarity.ngramJaccard(col("name_clean"), col("mention_norm"), 3))
+      .join(ambiguity, Seq("mention_norm"), "left")
+
+    // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
+    //      first in result order (pos asc) ----
+    val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
+      .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
+    feat
+      .withColumn("variant_rank", row_number().over(wEnt))
+      .filter(col("variant_rank") === 1)
+      .select(
+        col("mention_norm"), col("id"), col("name"), col("description"),
+        split(col("types_text"), " ").as("types"),
+        col("kind"), col("ner_type").as("NERtype"),
+        col("explicit_types"), col("extended_types"),
+        col("ambiguity_mention"), col("corrects_tokens"),
+        Text.ntoken(col("mention_norm")).as("ntoken_mention"),
+        col("ntoken").as("ntoken_entity"),
+        length(col("mention_norm")).as("length_mention"),
+        col("length").as("length_entity"),
+        col("popularity_norm").as("popularity"),
+        col("pos_score"), col("es_score"), col("ed_score"),
+        col("jaccard_score"), col("jaccardNgram_score"),
+        col("pos").as("rank"))
+  }
+
+  /** Stage-9 linking decision: best accepted entity per mention.
+    * Composite (engine-defined, documented): primary = ed+jaccard+ngram
+    * (the reference's own dedup/ranking signal A7 extended with the fuzzy
+    * feature), popularity as prior tie-break, threshold to abstain. */
+  def linkBest(candidates: DataFrame, minScore: Double = 1.8): DataFrame = {
+    val composite = col("ed_score") + col("jaccard_score") + col("jaccardNgram_score")
+    val w = Window.partitionBy(col("mention_norm"))
+      .orderBy(composite.desc, col("popularity").desc, col("id").asc)
+    candidates
+      .withColumn("link_score", composite)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1 && col("link_score") >= minScore)
+      .drop("r")
+  }
+}
+
+/** The three index tables produced by NameIndex (bucketable sides of the
+  * candidate-gen joins). */
+case class NameIndexTables(names: DataFrame, postings: DataFrame, postings3g: DataFrame)

@@ -1,0 +1,132 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Text
+
+/** Stage 6 — the label/alias inverted index, replacing the reference's
+  * Elasticsearch `wikidata` index (`scripts/indexing.py:255-349`, mapping
+  * `scripts/index_confs/kg_schema.json`) with Spark tables:
+  *
+  *  - `names`  — one row per unique lowercased surface form per entity
+  *    (label wins over alias), with the precomputed ranking features the
+  *    reference stores per ES doc (popularity_norm, ntoken, length);
+  *  - `postings`   — token → name-row posting list (the whitespace+
+  *    lowercase analyzer, `kg_schema.json:8-17`, made explicit);
+  *  - `postings3g` — char-3-gram → name-row posting list (the fuzzy path).
+  *
+  * PERS dot-abbreviations (`generate_dot_notation_options`,
+  * `indexing.py:50-66`) are added as extra alias rows from the en label.
+  * The reference also re-appends the unabbreviated name (i = 0 option) as
+  * an alias doc; we drop that duplicate because `names` is keyed by
+  * (id, name_clean) — candidate sets are unchanged.
+  *
+  * Determinism deviations: languages are emitted sorted; when two
+  * differently-cased variants of the same lowercased form exist, the kept
+  * original case is that of (labels before aliases, then lexicographically
+  * smallest language) rather than dict-insertion order.
+  *
+  * Scale notes: `names` is written bucketed by `id` for the ids-fetch join
+  * (J4) and `postings` bucketed by `token` so repeated candidate-gen runs
+  * shuffle only the mention side; popularity max (A1/A2) is a partial+final
+  * agg producing one scalar, broadcast into the projection.
+  */
+object NameIndex {
+
+  /** "John Fitzgerald Kennedy" → ["John Fitzgerald Kennedy",
+    * "J. Fitzgerald Kennedy", "J. F. Kennedy"] — `indexing.py:50-66`
+    * (option i abbreviates words j < i, always keeps the last word). */
+  def dotAbbreviations(name: Column): Column = {
+    val words = split(name, " ")
+    val n = size(words)
+    // option(i), i ∈ [1, n-1]: words[0..i-1] → "X.", words[i..n-2] kept,
+    // last word always kept (reference option i=0, the unabbreviated name
+    // itself, is intentionally omitted — see scaladoc).
+    val options = transform(sequence(lit(1), n - 1), i =>
+      array_join(
+        concat(
+          transform(slice(words, lit(1), i), w => concat(w.substr(1, 1), lit("."))),
+          slice(words, i + 1, greatest(n - 1 - i, lit(0))),
+          array(element_at(words, -1))),
+        " "))
+    when(n >= 2, options).otherwise(array().cast("array<string>"))
+  }
+
+  /** items → names table.
+    * Columns: id, name, name_clean, languages, is_alias, kind, ner_type,
+    * explicit_types, extended_types, types_text, description,
+    * popularity_norm, ntoken, length. */
+  def names(items: DataFrame): DataFrame = {
+    val maxPop = items.agg(max(col("popularity"))).first().getInt(0).toDouble
+
+    // surface forms: labels (is_alias=false) ∪ aliases (true) ∪ PERS abbrevs
+    val labelRows = items.select(col("entity"), explode(col("labels")).as(Seq("lang", "name")))
+      .withColumn("is_alias", lit(false))
+    val aliasRows = items
+      .select(col("entity"), explode(col("aliases")).as(Seq("lang", "alist")))
+      .select(col("entity"), col("lang"), explode(col("alist")).as("name"))
+      .withColumn("is_alias", lit(true))
+    val persAbbrevs = items
+      .filter(array_contains(col("ner_types"), "PERS") && col("labels")("en").isNotNull)
+      .select(col("entity"), explode(dotAbbreviations(col("labels")("en"))).as("name"))
+      // drop the i=0 unabbreviated duplicate of the label itself
+      .filter(col("name") =!= col("labels")("en"))
+      .withColumn("lang", lit("en")).withColumn("is_alias", lit(true))
+      .select(col("entity"), col("lang"), col("name"), col("is_alias"))
+
+    val surfaces = labelRows.unionByName(aliasRows).unionByName(persAbbrevs)
+      .withColumn("name_clean", Text.cleanStr(col("name")))
+      .filter(col("name_clean") =!= "")
+
+    // A3 dedup-merge: group by (entity, lowercased form); label beats alias;
+    // deterministic case pick = (is_alias asc, lang asc, name asc)
+    val merged = surfaces
+      .groupBy(col("entity"), col("name_clean"))
+      .agg(
+        min(struct(col("is_alias"), col("lang"), col("name"))).as("pick"),
+        array_sort(collect_set(col("lang"))).as("languages"),
+        min(col("is_alias")).as("is_alias"))
+      .select(col("entity"), col("name_clean"), col("pick.name").as("name"),
+        col("languages"), col("is_alias"))
+
+    val meta = items.select(
+      col("entity"), col("description"), col("kind"),
+      // NERtype = first observed ner type (indexing.py:255-259)
+      when(size(col("ner_types")) > 0, col("ner_types").getItem(0)).as("ner_type"),
+      col("explicit_types"), col("extended_types"),
+      // `types` text field = P31 ++ P279 space-joined (indexing.py:263-264)
+      concat_ws(" ", concat(col("p31"), col("p279"))).as("types_text"),
+      round(col("popularity") / lit(if (maxPop > 0) maxPop else 1.0), 2)
+        .as("popularity_norm"))
+
+    merged.join(meta, Seq("entity"), "left")
+      .select(
+        col("entity").as("id"), col("name"), col("name_clean"),
+        col("languages"), col("is_alias"), col("kind"), col("ner_type"),
+        col("explicit_types"), col("extended_types"), col("types_text"),
+        col("description"), col("popularity_norm"),
+        Text.ntoken(col("name")).as("ntoken"),
+        length(col("name")).as("length"),
+        // stable row key for posting lists
+        (xxhash64(col("entity"), col("name_clean")) .bitwiseAND(lit(Long.MaxValue)))
+          .as("name_row_id"))
+  }
+
+  /** Token posting list (token, name_row_id) — ES whitespace+lowercase
+    * analyzer realized as an exploded bucketable table. */
+  def postings(namesDf: DataFrame): DataFrame =
+    namesDf
+      .select(col("name_row_id"), explode(Text.tokenSet(col("name_clean"))).as("token"))
+      .distinct()
+
+  /** Char-3-gram posting list (gram, token, name_row_id) for the fuzzy
+    * candidate path (per-token grams; token kept for the levenshtein
+    * re-check join). */
+  def postings3g(namesDf: DataFrame, n: Int = 3): DataFrame =
+    namesDf
+      .select(col("name_row_id"), explode(Text.tokenSet(col("name_clean"))).as("token"))
+      .distinct()
+      .select(col("name_row_id"), col("token"),
+        explode(Text.tokenNgrams(col("token"), n)).as("gram"))
+      .distinct()
+}
