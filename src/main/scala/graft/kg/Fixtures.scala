@@ -196,7 +196,10 @@ object Fixtures {
         case k if k < 15 => // business
           val u = block * 3 + (k - 12)
           val label = uniq(s"${BizStems(u % 24)} ${BizSuffixes((u / 24) % 5)}", u, 120)
-          EntityDef(qid, label, Seq(label.split(" ").head + "Co"),
+          // the "XCo" acronym alias is only unique in the first stem cycle;
+          // later cycles would alias-collide across suffix variants
+          val bizAlias = if (u < 24) Seq(label.split(" ").head + "Co") else Nil
+          EntityDef(qid, label, bizAlias,
             s"company registered in $cty", Seq("Q4830453"), Nil, 1 + r.nextInt(4),
             objClaims = if (block * 20 + 8 < n) Seq("P159" -> s"Q${100000 + block * 20 + 8}") else Nil,
             litClaims = Seq(
@@ -351,14 +354,31 @@ object Fixtures {
         .map(i => defs(offset + i))
     val baseTs = 1704067200000L // 2024-01-01T00:00:00Z
 
+    val byQid: Map[String, EntityDef] = defs.map(d => d.qid -> d).toMap
+    val linkableQids: Set[String] = linkable.map(_.qid).toSet
+    // entities with a KG edge to another linkable entity — pair-embedding
+    // pool so extracted-triple P/R has a dense gold set
+    val pairPool: Vector[(EntityDef, String, EntityDef)] = linkable.flatMap { e =>
+      e.objClaims.collect { case (pid, t) if linkableQids.contains(t) =>
+        (e, pid, byQid(t)) }
+    }
+
     spark.range(nPages).map { p =>
       val r = rng(seed ^ 0x5ca1ab1eL, p)
       val url = s"https://crawl.example.org/page/$p"
       val lang = if (r.nextInt(20) == 0) Vector("de", "fr", "es")(r.nextInt(3)) else "en"
-      val nMentions = if (lang == "en") r.nextInt(9) else 0
       val gold = scala.collection.mutable.ArrayBuffer.empty[GoldLink]
       val surfaces = scala.collection.mutable.ArrayBuffer.empty[String]
 
+      // related pairs first: both endpoints of a KG edge on the same page
+      val nPairs = if (lang == "en" && pairPool.nonEmpty) r.nextInt(3) else 0
+      (0 until nPairs).foreach { _ =>
+        val (a, _, b) = pairPool(r.nextInt(pairPool.size))
+        surfaces += a.label; gold += GoldLink(url, a.label, a.qid, "pair")
+        surfaces += b.label; gold += GoldLink(url, b.label, b.qid, "pair")
+      }
+
+      val nMentions = if (lang == "en") r.nextInt(9 - 2 * nPairs.min(4)) else 0
       (0 until nMentions).foreach { _ =>
         val e = linkable(r.nextInt(linkable.size))
         val roll = r.nextInt(10)

@@ -21,7 +21,13 @@ case class LinkerConfig(
     softFiltering: Boolean = false,
     saltShards: Int = 8,
     hotTokenDf: Long = 100000L,
-    maxGramDf: Long = 500000L)
+    maxGramDf: Long = 500000L,
+    /** false = reference parity: per-mention top-`limit` cut ordered by
+      * popularity (ES `sort:[{popularity:desc}]`). true = cut by the
+      * lexical relevance score instead — the right setting for pipeline
+      * LINKING, where a low-popularity exact match must not be crowded out
+      * of the candidate window by high-popularity token-mates. */
+    cutByRelevance: Boolean = false)
 
 /** Stages 7-9 — candidate generation, scoring, top-k: the distributed
   * re-realization of the reference's lookup
@@ -79,15 +85,17 @@ object Linker {
     } else {
       val hotArr = typedLit(hot.toSeq.sorted)
       val s = cfg.saltShards
+      val salts = spark.range(s).select(col("id").cast("int").as("salt"))
       // posting side: hot tokens replicated into s shards, cold salt=0
-      val p = postings.withColumn("salt",
-        when(array_contains(hotArr, col("token")),
-          explode(sequence(lit(0), lit(s - 1)))).otherwise(lit(0)))
+      val pCold = postings.filter(!array_contains(hotArr, col("token")))
+        .withColumn("salt", lit(0))
+      val pHot = postings.filter(array_contains(hotArr, col("token")))
+        .crossJoin(broadcast(salts))
       // mention side: deterministic shard by mention hash
       val m = mtok.withColumn("salt",
         when(array_contains(hotArr, col("token")),
           pmod(xxhash64(col("mention_norm")), lit(s)).cast("int")).otherwise(lit(0)))
-      m.join(p, Seq("token", "salt"))
+      m.join(pCold.unionByName(pHot), Seq("token", "salt"))
         .select(col("mention_norm"), col("name_row_id"), col("token"))
     }
   }
@@ -115,11 +123,25 @@ object Linker {
       .agg(count(lit(1)).as("shared_grams"))
 
     val d = autoFuzzEdits(length(col("mtok")))
-    shared
+    val verified = shared
       // |shared 3-grams| ≥ max(|a|,|b|) − 2 − 3·d is necessary for lev ≤ d
       .filter(col("shared_grams") >=
         greatest(length(col("mtok")), length(col("token"))) - lit(2) - lit(3) * d)
-      .filter(levenshtein(col("mtok"), col("token")) <= d)
+      .withColumn("lev", levenshtein(col("mtok"), col("token")))
+      .filter(col("lev") <= d)
+
+    // ES fuzzy queries expand to at most max_expansions (default 50) index
+    // terms per query token; mirror that deterministically: keep the 50
+    // closest index tokens per mention token (lev asc, token asc).
+    val wExp = Window.partitionBy(col("mention_norm"), col("mtok"))
+      .orderBy(col("lev").asc, col("token").asc)
+    val expanded = verified
+      .select(col("mention_norm"), col("mtok"), col("token"), col("lev")).distinct()
+      .withColumn("exp_rank", dense_rank().over(wExp))
+      .filter(col("exp_rank") <= 50)
+      .select(col("mention_norm"), col("mtok"), col("token"))
+
+    verified.join(expanded, Seq("mention_norm", "mtok", "token"), "left_semi")
       .select(col("mention_norm"), col("name_row_id"), col("token"))
       .distinct()
   }
@@ -221,7 +243,9 @@ object Linker {
 
     // ---- popularity-sorted cut + pos/es normalization (O1/O2, F5/F6) ----
     val wPop = Window.partitionBy(col("mention_norm"))
-      .orderBy(col("popularity_norm").desc, col("es_raw").desc,
+      .orderBy(
+        (if (cfg.cutByRelevance) col("es_raw") else col("popularity_norm")).desc,
+        (if (cfg.cutByRelevance) col("popularity_norm") else col("es_raw")).desc,
         col("id").asc, col("name_clean").asc)
     val wMention = Window.partitionBy(col("mention_norm"))
     val cut = filtered0
@@ -265,11 +289,15 @@ object Linker {
   }
 
   /** Stage-9 linking decision: best accepted entity per mention.
-    * Composite (engine-defined, documented): primary = ed+jaccard+ngram
-    * (the reference's own dedup/ranking signal A7 extended with the fuzzy
-    * feature), popularity as prior tie-break, threshold to abstain. */
+    * Composite (engine-defined, documented): ed+jaccard+ngram (the
+    * reference's own dedup/ranking signal A7 extended with the fuzzy
+    * feature) + 0.5·es_score — the lexical term separates candidates whose
+    * string features tie because a short alias/abbreviation row mimics the
+    * mention while matching fewer index tokens. Popularity as prior
+    * tie-break; threshold to abstain. */
   def linkBest(candidates: DataFrame, minScore: Double = 1.8): DataFrame = {
-    val composite = col("ed_score") + col("jaccard_score") + col("jaccardNgram_score")
+    val composite = col("ed_score") + col("jaccard_score") +
+      col("jaccardNgram_score") + lit(0.5) * col("es_score")
     val w = Window.partitionBy(col("mention_norm"))
       .orderBy(composite.desc, col("popularity").desc, col("id").asc)
     candidates

@@ -96,7 +96,8 @@ object NameIndex {
       col("explicit_types"), col("extended_types"),
       // `types` text field = P31 ++ P279 space-joined (indexing.py:263-264)
       concat_ws(" ", concat(col("p31"), col("p279"))).as("types_text"),
-      round(col("popularity") / lit(if (maxPop > 0) maxPop else 1.0), 2)
+      // bround = HALF_EVEN, matching Python round() (indexing.py:266-270)
+      bround(col("popularity") / lit(if (maxPop > 0) maxPop else 1.0), 2)
         .as("popularity_norm"))
 
     merged.join(meta, Seq("entity"), "left")

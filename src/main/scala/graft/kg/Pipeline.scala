@@ -36,7 +36,9 @@ object Pipeline {
     * @param dumpLines KG dump JSONL as a `line` column
     * @param workDir   stage-commit directory (checkpoint root) */
   def run(spark: SparkSession, pages: DataFrame, dumpLines: DataFrame,
-          workDir: String, cfg: LinkerConfig = LinkerConfig(limit = 50, fuzzy = true),
+          workDir: String,
+          cfg: LinkerConfig = LinkerConfig(limit = 1000, fuzzy = true,
+            cutByRelevance = true),
           minLinkScore: Double = 1.2): StageOutputs = {
 
     def committed(stage: String): Boolean =

@@ -28,7 +28,7 @@ object Retrieval {
       .groupBy(col("entity"), col("obj"))
       .agg(array_sort(collect_set(col("pred"))).as("preds"))
       .groupBy(col("entity"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("obj"), col("preds")))))
+      .agg(map_from_entries(collect_list(struct(col("obj"), col("preds"))))
         .as("objects"))
 
   /** /entity/literals — `{DATATYPE → {pred → [values]}}`
@@ -39,10 +39,10 @@ object Retrieval {
       .groupBy(col("entity"), col("datatype"), col("pred"))
       .agg(array_sort(collect_set(col("value"))).as("values"))
       .groupBy(col("entity"), col("datatype"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("pred"), col("values")))))
+      .agg(map_from_entries(collect_list(struct(col("pred"), col("values"))))
         .as("by_pred"))
       .groupBy(col("entity"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("datatype"), col("by_pred")))))
+      .agg(map_from_entries(collect_list(struct(col("datatype"), col("by_pred"))))
         .as("literals"))
 
   /** /entity/labels — `{lang → label}` (`labels_retriever.py:11-45`). */

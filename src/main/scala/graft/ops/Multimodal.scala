@@ -42,14 +42,15 @@ object Multimodal {
     * exactly like a real extractor UDF would be. */
   def featureStub(payload: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(payload, i), lit(20001)) - lit(10000)).cast("float") / 10000.0f)
+      ((pmod(xxhash64(payload, i), lit(20001)) - lit(10000)) / lit(10000.0)).cast("float"))
 
   /** "Frame sampling": every k-th fixed-size byte window as a
     * frame-payload array — the partition/batch shape of video frame
     * extraction with a stubbed codec. */
   def frameSample(payload: Column, frameBytes: Int = 256, everyK: Int = 4): Column =
     filter(
-      transform(sequence(lit(0), greatest((length(payload) / (frameBytes * everyK)) - 1, lit(0))),
+      transform(sequence(lit(0),
+          greatest((length(payload) / (frameBytes * everyK)) - 1, lit(0)).cast("int")),
         i => substring(payload, (i * frameBytes * everyK + 1).cast("int"), lit(frameBytes))),
       f => length(f) > 0)
 

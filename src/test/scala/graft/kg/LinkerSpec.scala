@@ -1,0 +1,146 @@
+package graft.kg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stages 7-9 — lookup candidate generation + the 18-feature scoring
+  * contract (`lookup_retriever.py:278-302`), field-by-field goldens. */
+class LinkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 200
+  private lazy val world = {
+    val dump = Fixtures.dumpLines(spark, N)
+    val parsed = ParseEntities.parse(dump)
+    val claims = ParseEntities.claims(parsed)
+    val objects = ParseEntities.objects(claims)
+    val closure = graft.graph.TypeClosure.closure(
+      objects.filter(col("pred") === "P279")
+        .select(col("subj").as("child"), col("obj").as("parent")))
+    val items = ParseEntities.items(parsed, closure,
+      NerSeeds.geoSeeds(spark, closure), NerSeeds.orgSeeds(spark, closure)).cache()
+    val names = NameIndex.names(items).cache()
+    (items, NameIndexTables(names,
+      NameIndex.postings(names).cache(), NameIndex.postings3g(names).cache()))
+  }
+  private lazy val items = world._1
+  private lazy val index = world._2
+
+  private def mentionsOf(ms: String*) =
+    ms.toSeq.toDF("surface")
+      .select(graft.core.Text.cleanStr(col("surface")).as("mention_norm"))
+
+  test("exact label lookup: entity ranks first with perfect scores") {
+    val label = items.filter(col("entity") === "Q100000")
+      .select(col("labels")("en")).first().getString(0)
+    val out = Linker.lookup(spark, mentionsOf(label), index,
+      LinkerConfig(limit = 1000)).cache()
+    val best = out.orderBy((col("ed_score") + col("jaccard_score")).desc).first()
+    assert(best.getAs[String]("id") == "Q100000")
+    assert(best.getAs[Double]("ed_score") == 1.0)
+    assert(best.getAs[Double]("jaccard_score") == 1.0)
+    assert(best.getAs[Double]("jaccardNgram_score") == 1.0)
+    // candidate object shape: all 18 reference fields + mention_norm/rank
+    val cols = out.columns.toSet
+    val expected = Set("id", "name", "description", "types", "kind", "NERtype",
+      "explicit_types", "extended_types", "ambiguity_mention", "corrects_tokens",
+      "ntoken_mention", "ntoken_entity", "length_mention", "length_entity",
+      "popularity", "pos_score", "es_score", "ed_score", "jaccard_score",
+      "jaccardNgram_score")
+    assert(expected.subsetOf(cols))
+  }
+
+  test("feature golden: scores match hand-computed reference formulae") {
+    // mention "alderton" vs city label "Alderton" (exact single token)
+    val out = Linker.lookup(spark, mentionsOf("Alderton"), index,
+      LinkerConfig(limit = 50)).cache()
+    val city = out.filter(col("name") === "Alderton").first()
+    assert(city.getAs[Double]("ed_score") == 1.0)
+    assert(city.getAs[Int]("ntoken_mention") == 1)
+    assert(city.getAs[Int]("length_mention") == 8)
+    assert(city.getAs[Int]("ntoken_entity") == 1)
+    assert(city.getAs[Int]("length_entity") == 8)
+    // "City of Alderton" alias row is a separate entity-variant; A7 dedup
+    // keeps only ONE row for the city entity (the best ed+jac variant)
+    val cityId = city.getAs[String]("id")
+    assert(out.filter(col("id") === cityId).count() == 1)
+  }
+
+  test("pos_score = rank/N over popularity-desc order (elastic.py:98)") {
+    val out = Linker.lookup(spark, mentionsOf("Alderton"), index,
+      LinkerConfig(limit = 1000)).cache()
+    val rows = out.select("rank", "pos_score", "popularity").collect()
+    val n = rows.length // A7 dedup keeps all ranks distinct per entity here
+    // ranks are 1..n and pos_score = rank / #hits before dedup
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pos_score") > 0.0 && r.getAs[Double]("pos_score") <= 1.0)
+    }
+    // popularity non-increasing in rank
+    val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("popularity"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("es_score normalized to [0,1] with max 1 per mention (elastic.py:99)") {
+    val out = Linker.lookup(spark, mentionsOf("Alderton", "Springfield"), index,
+      LinkerConfig(limit = 100)).cache()
+    val perMention = out.groupBy("mention_norm").agg(max("es_score").as("m"))
+      .select("m").as[Double].collect()
+    perMention.foreach(m => assert(math.abs(m - 1.0) < 1e-9))
+  }
+
+  test("fuzzy: one-edit misspelling finds the entity via 3-gram postings") {
+    val out = Linker.lookup(spark, mentionsOf("Aldertn"), index,
+      LinkerConfig(limit = 1000, fuzzy = true)).cache()
+    val names = out.select("name").as[String].collect()
+    assert(names.contains("Alderton"), s"got: ${names.take(10).mkString(",")}")
+    // non-fuzzy must NOT find it (token mismatch)
+    val strict = Linker.lookup(spark, mentionsOf("Aldertn"), index,
+      LinkerConfig(limit = 1000, fuzzy = false))
+    assert(!strict.select("name").as[String].collect().contains("Alderton"))
+  }
+
+  test("hard filters: kind / NERtype / extended_types restrict candidates") {
+    val byKind = Linker.lookup(spark, mentionsOf("City"), index,
+      LinkerConfig(limit = 50, kind = Some("type")))
+    assert(byKind.select("kind").distinct().as[String].collect().toSeq == Seq("type"))
+
+    val byNer = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, nerTypes = Seq("LOC")))
+    assert(byNer.select("NERtype").distinct().as[String].collect().toSeq == Seq("LOC"))
+
+    val byExt = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, extendedTypes = Seq("Q2221906")))
+    byExt.select("extended_types").as[Seq[String]].collect()
+      .foreach(ts => assert(ts.contains("Q2221906")))
+  }
+
+  test("soft filtering penalizes instead of excluding") {
+    val hard = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, types = Seq("Q515")))
+    val soft = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, types = Seq("Q515"), softFiltering = true))
+    assert(soft.count() >= hard.count())
+  }
+
+  test("ambiguity_mention: exact-label share of distinct candidate ids (A5)") {
+    val out = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 1000)).cache()
+    val amb = out.select("ambiguity_mention").distinct().as[Double].head()
+    val nIds = out.select("id").distinct().count().toDouble
+    val nExact = out.filter(lower(col("name")) === "springfield")
+      .select("id").distinct().count().toDouble
+    assert(math.abs(amb - nExact / nIds) < 1e-9)
+    val ct = out.select("corrects_tokens").distinct().as[Double].head()
+    assert(ct == 1.0) // the token "springfield" appears in candidate labels
+  }
+
+  test("salting path yields identical candidates to the unsalted join") {
+    val base = Linker.lookup(spark, mentionsOf("Alderton", "Springfield"), index,
+      LinkerConfig(limit = 100, hotTokenDf = Long.MaxValue))
+      .select("mention_norm", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val salted = Linker.lookup(spark, mentionsOf("Alderton", "Springfield"), index,
+      LinkerConfig(limit = 100, hotTokenDf = 1L, saltShards = 4))
+      .select("mention_norm", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(base == salted)
+  }
+}
