@@ -299,6 +299,144 @@ object SparkEntry {
       Canonicalize.connectedComponents(edges).orderBy(col("node"))
     }),
 
+    // ---- KG pipeline operators over table-synthesized inputs ----
+    // Inputs are built from sf tables identically on both sides, so the
+    // oracle checks the REAL parse/index/extract path end-to-end.
+
+    "q_parse_objects" -> ((s, dir) => {
+      // customer rows → Wikidata-style dump JSON → ParseEntities.objects.
+      // Oracle derives (subj,pred,obj) directly from the columns.
+      val dump = t(s, dir, "customer").select(concat(
+        lit("""{"id":"Q"""), col("c_custkey"), lit("""","type":"item","claims":{"""),
+        lit(""""P31":[{"mainsnak":{"property":"P31","datatype":"wikibase-item","datavalue":{"value":{"id":"Q"""),
+        (col("c_nationkey") + 500), lit(""""}}}}],"""),
+        lit(""""P999":[{"mainsnak":{"property":"P999","datatype":"wikibase-lexeme","datavalue":{"value":"L1"}}}]"""),
+        lit("}}")).as("line"))
+      graft.kg.ParseEntities.objects(
+        graft.kg.ParseEntities.claims(graft.kg.ParseEntities.parse(dump)))
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+
+    "q_parse_literals" -> ((s, dir) => {
+      // orders rows → dump JSON with quantity/time/globe-coordinate claims
+      // → ParseEntities.literals (get_value extraction + datatype taxonomy)
+      val dump = t(s, dir, "orders").select(concat(
+        lit("""{"id":"Q"""), col("o_orderkey"), lit("""","type":"item","claims":{"""),
+        lit(""""P2142":[{"mainsnak":{"property":"P2142","datatype":"quantity","datavalue":{"value":{"amount":"+"""),
+        round(col("o_totalprice"), 2), lit(""""}}}}],"""),
+        lit(""""P577":[{"mainsnak":{"property":"P577","datatype":"time","datavalue":{"value":{"time":"+"""),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("""T00:00:00Z"}}}}],"""),
+        lit(""""P625":[{"mainsnak":{"property":"P625","datatype":"globe-coordinate","datavalue":{"value":{"latitude":"""),
+        (col("o_custkey") % 80), lit(""".5,"longitude":"""), (col("o_orderkey") % 170 + 10),
+        lit(""".25}}}}]}}""")).as("line"))
+      graft.kg.ParseEntities.literals(
+        graft.kg.ParseEntities.claims(graft.kg.ParseEntities.parse(dump)))
+        .orderBy(col("subj"), col("pred"), col("value"))
+    }),
+
+    "q_extract_text" -> ((s, dir) => {
+      // documents.text → escaped html → frozen extraction rule chain.
+      // Oracle applies the same rules in DuckDB SQL (regex-compatible by
+      // construction), so the rule chain is engine-checked.
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><title>d</title><style>p{x}</style><script>var a=1;</script></head>"),
+        lit("<body><!-- hdr --><div class=\"nav\"><span>menu</span></div><p>"),
+        esc, lit("</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.kg.ExtractText.extract(encode(html, "UTF-8")).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_detect_mentions" -> ((s, dir) => {
+      // deterministic capitalized-run detection; documents text is all
+      // lowercase, so both sides embed capitalized runs from the source/
+      // lang columns first (surfaces only — offsets are engine-internal;
+      // DuckDB regexp_extract_all is the oracle for the surface set)
+      def cap(c: Column): Column =
+        concat(upper(substring(c, 1, 1)), substring(c, 2, 1000))
+      val text2 = concat(lit("seen at "), cap(col("source")), lit(" Junction of "),
+        cap(col("lang")), lit(" Press while "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.kg.DetectMentions.detect(text2)).as("m"))
+        .select(col("doc_id"), col("m.surface").as("surface"))
+        .groupBy(col("doc_id"), col("surface")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("surface"))
+    }),
+
+    "q_name_index_features" -> ((s, dir) => {
+      // part names → surface-form features of the name index (F8 + A3 key)
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        Text.cleanStr(col("p_name")).as("name_clean"),
+        Text.ntoken(col("p_name")).cast("long").as("ntoken"),
+        length(col("p_name")).cast("long").as("length"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_dot_abbreviations" -> ((s, dir) => {
+      // PERS dot-abbreviation generator (indexing.py:50-66) over 2-token
+      // names built from customer rows ("Cust<key> <segment>")
+      val name = concat(lit("Cust"), col("c_custkey"), lit(" "),
+        initcap(lower(col("c_mktsegment"))))
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          explode(graft.kg.NameIndex.dotAbbreviations(name)).as("abbrev"))
+        .orderBy(col("c_custkey"), col("abbrev"))
+    }),
+
+    "q_lookup_fuzzy" -> ((s, dir) => {
+      // fuzzy lookup vs a brute-force oracle: mentions = part names with a
+      // dropped character; our path = 3-gram postings join + lev recheck;
+      // DuckDB = exhaustive cross-join levenshtein. Join-strategy-
+      // independent semantics check.
+      val parts = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), lower(col("p_name")).as("name"))
+      val mentions = parts.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("mention_id"),
+          // drop the 3rd char of the name (keeps token count)
+          concat(substring(col("name"), 1, 2), substring(col("name"), 4, 10000))
+            .as("mention"))
+      val mtok = mentions.select(col("mention_id"), col("mention"),
+        explode(Text.tokenSet(col("mention"))).as("mtok"))
+        .filter(length(col("mtok")) >= 3)
+        .select(col("mention_id"), col("mention"), col("mtok"),
+          explode(Text.tokenNgrams(col("mtok"), 3)).as("gram")).distinct()
+      val ptok = parts.select(col("p_partkey"), col("name"),
+        explode(Text.tokenSet(col("name"))).as("tok"))
+        .select(col("p_partkey"), col("name"), col("tok"),
+          explode(Text.tokenNgrams(col("tok"), 3)).as("gram")).distinct()
+      val maxEdits = when(length(col("mtok")) < 3, 0)
+        .when(length(col("mtok")) < 6, 1).otherwise(2)
+      val cand = mtok.join(ptok, "gram")
+        .groupBy(col("mention_id"), col("mention"), col("mtok"),
+          col("p_partkey"), col("name"), col("tok"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(levenshtein(col("mtok"), col("tok")) <= maxEdits)
+        .select(col("mention_id"), col("p_partkey"), col("mention"), col("name"))
+        .distinct()
+      cand.select(col("mention_id"), col("p_partkey"),
+          round(Similarity.editDistanceScore(col("mention"), col("name")), 6)
+            .as("ed_score"))
+        .orderBy(col("mention_id"), col("p_partkey"))
+    }),
+
+    "q_media_features" -> ((s, dir) => {
+      // multimodal plumbing: binary payloads from document text; decode
+      // stub + fixed-dim feature vector (deterministic, oracle-free dims)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      media.select(col("doc_id"),
+          graft.ops.Multimodal.decodeStub(col("payload")).as("d"),
+          graft.ops.Multimodal.featureStub(col("payload"), 8).as("f"))
+        .select(col("doc_id"),
+          col("d.n_bytes").cast("long").as("n_bytes"),
+          size(col("f")).cast("long").as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- flagship: lookup candidate-gen + scoring + top-k (SURVEY §3.1) ----
     "q_lookup_candidates" -> ((s, dir) => {
       // mentions = token-swapped part names (deterministic "noisy surface
@@ -542,6 +680,99 @@ object SparkEntry {
          SELECT c_custkey AS node, mn AS component
          FROM customer JOIN m USING (c_nationkey)
          WHERE n >= 2 ORDER BY node""",
+
+    "q_parse_objects" ->
+      """SELECT 'Q'||c_custkey AS subj, 'P31' AS pred,
+                'Q'||(c_nationkey+500) AS obj
+         FROM customer ORDER BY subj, pred, obj""",
+
+    "q_parse_literals" ->
+      """SELECT subj, pred, value, datatype FROM (
+           SELECT 'Q'||o_orderkey AS subj, 'P2142' AS pred,
+                  '+'||round(o_totalprice,2) AS value, 'NUMBER' AS datatype
+           FROM orders
+           UNION ALL
+           SELECT 'Q'||o_orderkey, 'P577',
+                  '+'||strftime(o_orderdate,'%Y-%m-%d')||'T00:00:00Z', 'DATETIME'
+           FROM orders
+           UNION ALL
+           SELECT 'Q'||o_orderkey, 'P625',
+                  (o_custkey%80)||'.5,'||(o_orderkey%170+10)||'.25', 'STRING'
+           FROM orders
+         ) ORDER BY subj, pred, value""",
+
+    "q_extract_text" ->
+      // same frozen whitespace policy over the same embedded content: the
+      // built html strips back to 'menu\n' + normalized text
+      """SELECT doc_id, 'menu' || chr(10) || array_to_string(
+           list_filter([trim(regexp_replace(l, '[ \t]+', ' ', 'g'))
+                        for l in string_split(text, chr(10))],
+                       x -> x <> ''), chr(10)) AS extracted
+         FROM documents ORDER BY doc_id""",
+
+    "q_detect_mentions" ->
+      """WITH t2 AS (
+           SELECT doc_id, 'seen at '||upper(substr(source,1,1))||substr(source,2)
+             ||' Junction of '||upper(substr(lang,1,1))||substr(lang,2)
+             ||' Press while '||text AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id, unnest(regexp_extract_all(text,
+             '[A-Z][A-Za-z0-9''.\-]*(?: (?:(?:of|de|la|the|and) )?[A-Z][A-Za-z0-9''.\-]*)*'))
+             AS surface
+           FROM t2),
+         f AS (SELECT doc_id, surface FROM m
+               WHERE len(string_split(surface, ' ')) <= 6
+                 AND (len(string_split(surface, ' ')) > 1 OR length(surface) >= 2))
+         SELECT doc_id, surface, count(*) AS n FROM f
+         GROUP BY 1, 2 ORDER BY doc_id, surface""",
+
+    "q_name_index_features" -> {
+      val clean = cleanSql("p_name")
+      s"""SELECT p_partkey, $clean AS name_clean,
+          len(string_split($clean, ' ')) AS ntoken,
+          length(p_name) AS length
+          FROM part ORDER BY p_partkey"""
+    },
+
+    "q_dot_abbreviations" ->
+      // 2-token name "Cust<key> <Segment>" → single option "C. <Segment>"
+      """SELECT c_custkey,
+           'C. '||upper(substr(c_mktsegment,1,1))||lower(substr(c_mktsegment,2))
+             AS abbrev
+         FROM customer ORDER BY c_custkey, abbrev""",
+
+    "q_lookup_fuzzy" -> {
+      def grams(t: String) =
+        s"""(CASE WHEN length($t) < 3 THEN [$t]
+             ELSE [substring($t, i, 3) for i in range(1, length($t)-1)] END)"""
+      s"""WITH parts AS (SELECT p_partkey, lower(p_name) AS name FROM part
+                         WHERE p_partkey <= 200),
+          mentions AS (SELECT p_partkey AS mention_id,
+                              substr(name,1,2)||substr(name,4) AS mention
+                       FROM parts WHERE p_partkey % 5 = 0),
+          mt AS (SELECT mention_id, mention,
+                        unnest(list_distinct(string_split(mention,' '))) AS mtok
+                 FROM mentions),
+          mt3 AS (SELECT * FROM mt WHERE length(mtok) >= 3),
+          pt AS (SELECT p_partkey, name,
+                        unnest(list_distinct(string_split(name,' '))) AS tok
+                 FROM parts),
+          pairs AS (
+            SELECT DISTINCT m.mention_id, p.p_partkey, m.mention, p.name
+            FROM mt3 m JOIN pt p
+              ON len(list_intersect(${grams("m.mtok")}, ${grams("p.tok")})) >= 1
+             AND levenshtein(m.mtok, p.tok)
+                 <= (CASE WHEN length(m.mtok) < 6 THEN 1 ELSE 2 END))
+          SELECT mention_id, p_partkey,
+                 round(1.0 - CAST(levenshtein(mention, name) AS DOUBLE)
+                   / greatest(length(mention), length(name), 1), 6) AS ed_score
+          FROM pairs ORDER BY mention_id, p_partkey"""
+    },
+
+    "q_media_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 8 AS dim
+         FROM documents ORDER BY doc_id""",
 
     "q_lookup_candidates" -> {
       val mt = tokSetSql("mention"); val nt = tokSetSql("name")
