@@ -59,12 +59,17 @@ object Canonicalize {
             least(cur("component"), coalesce(col("l_comp"), cur("component")))
               .as("component"))
       }
-      val updated = jumped.localCheckpoint(eager = true)
-      val noneChanged = updated.as("u").join(labels.as("o"), "node")
-        .filter(col("u.component") =!= col("o.component"))
-        .isEmpty
-      labels = updated
-      if (noneChanged) converged = true
+      // one materializing job per iteration: checkpoint lazily, then a
+      // single agg both materializes and counts changed labels
+      val prev = labels.select(col("node"), col("component").as("prev_component"))
+      val updated = jumped.join(prev, Seq("node"))
+        .withColumn("changed", (col("component") =!= col("prev_component")).cast("int"))
+        .select(col("node"), col("component"), col("changed"))
+        .localCheckpoint(eager = false)
+      val row = updated.agg(sum(col("changed"))).first()
+      val nChanged = if (row.isNullAt(0)) 0L else row.getLong(0)
+      labels = updated.drop("changed")
+      if (nChanged == 0) converged = true
       i += 1
     }
     labels

@@ -41,15 +41,18 @@ object TypeClosure {
     var done = false
     while (!done && i < maxIters) {
       // frontier(child, ancestor) ⋈ edges(ancestor=child₂ → parent) ⇒ (child, parent)
+      // lazy checkpoint: the count() below is the single materializing job
+      // per iteration (an eager checkpoint + separate isEmpty would double
+      // the per-iteration latency floor)
       val next = frontier
         .join(e, frontier("ancestor") === e("e_child"))
         .select(frontier("child").as("child"), e("e_parent").as("ancestor"))
         .distinct()
         .join(acc, Seq("child", "ancestor"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) done = true
       else {
-        acc = acc.union(next).localCheckpoint(eager = true)
+        acc = acc.union(next).localCheckpoint(eager = false)
         frontier = next
         i += 1
       }

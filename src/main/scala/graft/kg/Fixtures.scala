@@ -173,8 +173,12 @@ object Fixtures {
           // label + P460 same-as edge) — exercises canonicalization.
           val isDup = k == 1 && block % 40 == 3
           val u = if (isDup) block * 8 else block * 8 + k
+          // bijective digit mixing (each digit offset by the lower ones) so
+          // first/middle/last names ALL cycle quickly — a plain mixed-radix
+          // split leaves one hot digit (every person sharing one surname),
+          // which skews the token join unrealistically
           val label = uniq(
-            s"${FirstNames(u % 32)} ${FirstNames((u / 32) % 32)} ${LastNames((u / 1024) % 32)}",
+            s"${FirstNames(u % 32)} ${FirstNames((u / 32 + u) % 32)} ${LastNames((u / 1024 + u) % 32)}",
             u, 32768)
           val dupEdge = if (isDup) Seq("P460" -> s"Q${100000 + block * 20}") else Nil
           EntityDef(qid, label, Nil, s"person from synthetic corpus $i",

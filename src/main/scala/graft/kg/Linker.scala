@@ -22,12 +22,32 @@ case class LinkerConfig(
     saltShards: Int = 8,
     hotTokenDf: Long = 100000L,
     maxGramDf: Long = 500000L,
+    /** Candidate-generation blocking (Lucene common-terms /
+      * minimum_should_match analog): a token whose posting list exceeds
+      * this df does NOT generate candidates for a mention that also has a
+      * rarer token — "the"/"of"-class tokens otherwise join every film
+      * with every film (O(n²) candidate blowup). Common tokens still
+      * contribute to jaccard/ngram features (computed from full token
+      * sets), only their idf (low by construction) leaves es_raw.
+      * 0 = auto: max(64, 0.5% of name rows). */
+    commonTokenDf: Long = 0L,
+    /** ES minimum_should_match analog for the pipeline path: a candidate
+      * must match ≥ (mention ntokens − 1) tokens (min 1). OFF for lookup
+      * parity (the reference's ES `match` is pure OR); ON for linking —
+      * one-token-overlap candidates on a 3-token mention can never win
+      * the composite and only inflate the scoring stage. A misspelled
+      * token still counts through its fuzzy expansion. */
+    minShouldMatch: Boolean = false,
     /** false = reference parity: per-mention top-`limit` cut ordered by
       * popularity (ES `sort:[{popularity:desc}]`). true = cut by the
       * lexical relevance score instead — the right setting for pipeline
       * LINKING, where a low-popularity exact match must not be crowded out
       * of the candidate window by high-popularity token-mates. */
-    cutByRelevance: Boolean = false)
+    cutByRelevance: Boolean = false,
+    /** A5/A6 ambiguity features require an extra window pass over the FULL
+      * unfiltered match set; linking does not use them, so the pipeline
+      * turns them off (columns emitted as nulls). */
+    computeAmbiguity: Boolean = true)
 
 /** Stages 7-9 — candidate generation, scoring, top-k: the distributed
   * re-realization of the reference's lookup
@@ -61,18 +81,41 @@ object Linker {
     when(len < 3, 0).when(len < 6, 1).otherwise(2)
 
   /** Distinct-mention pre-pass (the batch replacement of the reference's
-    * query cache C1): every distinct mention_norm computed once. */
+    * query cache C1): every distinct mention_norm computed once, with its
+    * token and 3-gram sets materialized so downstream scoring never
+    * rebuilds them per candidate pair. */
   def distinctMentions(mentions: DataFrame): DataFrame =
     mentions.select(col("mention_norm")).filter(col("mention_norm") =!= "").distinct()
+      .withColumn("mention_tokens", Text.tokenSet(col("mention_norm")))
+      .withColumn("mention_grams", Text.ngramSet(col("mention_norm"), 3))
 
   /** Exact token matches: (mention_norm, name_row_id, token), salted on
-    * hot tokens so one mega-posting token cannot pin a shuffle partition.
-    * @param postings (token, name_row_id) */
+    * hot tokens so one mega-posting token cannot pin a shuffle partition,
+    * with common-token blocking (see LinkerConfig.commonTokenDf).
+    * @param postings (token, name_row_id)
+    * @param tokenDf  (token, df) posting-list lengths */
+  /** The generation-eligible (mention, token) pairs after common-token
+    * blocking: common tokens are kept ONLY for mentions with no rarer
+    * token. Shared by candidate generation and the minimum_should_match
+    * bound (which must not demand more matches than eligible tokens). */
+  def blockedMentionTokens(mentionsD: DataFrame, tokenDf: DataFrame,
+                           commonDf: Long): DataFrame = {
+    val mtokAll = mentionsD
+      .select(col("mention_norm"), explode(col("mention_tokens")).as("token"))
+      .join(tokenDf, Seq("token"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val wMent = Window.partitionBy(col("mention_norm"))
+    mtokAll
+      .withColumn("min_df", min(col("df")).over(wMent))
+      .filter(col("df") <= commonDf || col("min_df") > commonDf)
+      .select(col("mention_norm"), col("token"))
+  }
+
   def exactTokenMatches(spark: SparkSession, mentionsD: DataFrame,
-                        postings: DataFrame, cfg: LinkerConfig): DataFrame = {
+                        postings: DataFrame, tokenDf: DataFrame,
+                        commonDf: Long, cfg: LinkerConfig): DataFrame = {
     import spark.implicits._
-    val mtok = mentionsD
-      .select(col("mention_norm"), explode(Text.tokenSet(col("mention_norm"))).as("token"))
+    val mtok = blockedMentionTokens(mentionsD, tokenDf, commonDf)
 
     // hot tokens by posting-list length (computed once per run; tiny result)
     val hot = postings.groupBy("token").count()
@@ -100,48 +143,67 @@ object Linker {
     }
   }
 
-  /** Fuzzy token matches via 3-gram postings: (mention_norm, name_row_id,
-    * token) where an index token is within AUTO edit distance of a mention
-    * token. Gram-count lower bound prunes before the levenshtein check.
-    * @param postings3g (gram, token, name_row_id) */
-  def fuzzyTokenMatches(mentionsD: DataFrame, postings3g: DataFrame,
-                        cfg: LinkerConfig): DataFrame = {
-    val mtok = mentionsD
-      .select(col("mention_norm"), explode(Text.tokenSet(col("mention_norm"))).as("mtok"))
+  /** Fuzzy token matches — ES's two-phase fuzzy-query model:
+    *
+    *  phase 1 (TERM DICTIONARY, vocabulary × vocabulary): the DISTINCT
+    *  mention tokens are expanded to index tokens within AUTO edit
+    *  distance via the 3-gram vocab table, with a shared-gram lower-bound
+    *  prune before the levenshtein check and the ES `max_expansions`-style
+    *  cap (50 closest terms per mention token, deterministic order);
+    *
+    *  phase 2 (POSTINGS): only the accepted (mtok → token) expansions are
+    *  joined against the posting lists.
+    *
+    * Doing the gram join at vocabulary scale is what keeps fuzzy matching
+    * linear — joining grams against per-name-row postings would multiply
+    * the candidate volume by posting-list length.
+    * @param postings   (token, name_row_id)
+    * @param postings3g (gram, token) vocabulary grams
+    * @param tokenDf    (token, df); expansion targets with df > commonDf
+    *                   are blocked (same policy as the exact path) */
+  def fuzzyTokenMatches(mentionsD: DataFrame, postings: DataFrame,
+                        postings3g: DataFrame, tokenDf: DataFrame,
+                        commonDf: Long, cfg: LinkerConfig): DataFrame = {
+    // distinct mention tokens (the query-side vocabulary)
+    val mvocab = mentionsD
+      .select(explode(col("mention_tokens")).as("mtok")).distinct()
       .filter(length(col("mtok")) >= 3)
-      .select(col("mention_norm"), col("mtok"),
-        explode(Text.tokenNgrams(col("mtok"), 3)).as("gram"))
+    val mgrams = mvocab
+      .select(col("mtok"), explode(Text.tokenNgrams(col("mtok"), 3)).as("gram"))
       .distinct()
 
     // prune ultra-common grams (bounded fan-out; documented cap)
     val gramDf = postings3g.groupBy("gram").count()
     val p3 = postings3g.join(gramDf.filter(col("count") <= cfg.maxGramDf), Seq("gram"))
-      .select("gram", "token", "name_row_id")
-
-    val shared = mtok.join(p3, Seq("gram"))
-      .groupBy(col("mention_norm"), col("mtok"), col("token"), col("name_row_id"))
-      .agg(count(lit(1)).as("shared_grams"))
+      .select("gram", "token")
 
     val d = autoFuzzEdits(length(col("mtok")))
-    val verified = shared
+    val verified = mgrams.join(p3, Seq("gram"))
+      .groupBy(col("mtok"), col("token"))
+      .agg(count(lit(1)).as("shared_grams"))
       // |shared 3-grams| ≥ max(|a|,|b|) − 2 − 3·d is necessary for lev ≤ d
       .filter(col("shared_grams") >=
         greatest(length(col("mtok")), length(col("token"))) - lit(2) - lit(3) * d)
       .withColumn("lev", levenshtein(col("mtok"), col("token")))
-      .filter(col("lev") <= d)
+      // lev ≥ 1: identical tokens are the EXACT path's job — keeping them
+      // here would re-derive every exact match through the gram join
+      .filter(col("lev") <= d && col("lev") >= 1)
 
-    // ES fuzzy queries expand to at most max_expansions (default 50) index
-    // terms per query token; mirror that deterministically: keep the 50
-    // closest index tokens per mention token (lev asc, token asc).
-    val wExp = Window.partitionBy(col("mention_norm"), col("mtok"))
-      .orderBy(col("lev").asc, col("token").asc)
-    val expanded = verified
-      .select(col("mention_norm"), col("mtok"), col("token"), col("lev")).distinct()
-      .withColumn("exp_rank", dense_rank().over(wExp))
+    // ES max_expansions (default 50): keep the 50 closest index terms per
+    // mention token, deterministic (lev asc, token asc)
+    val wExp = Window.partitionBy(col("mtok")).orderBy(col("lev").asc, col("token").asc)
+    val expansions = verified
+      .withColumn("exp_rank", row_number().over(wExp))
       .filter(col("exp_rank") <= 50)
-      .select(col("mention_norm"), col("mtok"), col("token"))
+      .select(col("mtok"), col("token"))
 
-    verified.join(expanded, Seq("mention_norm", "mtok", "token"), "left_semi")
+    // phase 2: expansions (minus common targets) → mentions → postings
+    val rareExpansions = expansions
+      .join(tokenDf.filter(col("df") <= commonDf).select("token"), Seq("token"))
+    val mentionTok = mentionsD
+      .select(col("mention_norm"), explode(col("mention_tokens")).as("mtok"))
+    mentionTok.join(rareExpansions, Seq("mtok"))
+      .join(postings, Seq("token"))
       .select(col("mention_norm"), col("name_row_id"), col("token"))
       .distinct()
   }
@@ -172,16 +234,116 @@ object Linker {
     val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
 
     val nRows = index.names.count().toDouble
-    val idf = index.postings.groupBy("token")
-      .agg(count(lit(1)).as("df"))
+    val tokenDf = index.postings.groupBy("token")
+      .agg(count(lit(1)).as("df")).localCheckpoint(eager = false)
+    val idf = tokenDf
       .select(col("token"), log(lit(1.0) + lit(nRows) / col("df")).as("idf"))
+    val commonDf =
+      if (cfg.commonTokenDf > 0) cfg.commonTokenDf
+      else math.max(64L, (nRows * 0.005).toLong)
 
-    val exact = exactTokenMatches(spark, mentionsD, index.postings, cfg)
-    val matches =
-      if (cfg.fuzzy) exact.union(fuzzyTokenMatches(mentionsD, index.postings3g, cfg)).distinct()
-      else exact
+    val fuzzyTriples =
+      if (cfg.fuzzy)
+        fuzzyTokenMatches(mentionsD, index.postings, index.postings3g,
+          tokenDf, commonDf, cfg)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "mention_norm string, name_row_id bigint, token string"))
 
-    val cand = candidateRows(matches, index.names, idf)
+    val statsF: DataFrame =
+      if (!cfg.minShouldMatch) {
+        // ---- reference-parity OR generation: every (eligible) token's
+        // posting list contributes candidates; no distinct across
+        // exact ∪ fuzzy (in ES every query clause scores, so a token
+        // reached both ways counts twice there too)
+        val exact = exactTokenMatches(spark, mentionsD, index.postings,
+          tokenDf, commonDf, cfg)
+        val matches = if (cfg.fuzzy) exact.union(fuzzyTriples) else exact
+        matches
+          .join(idf, Seq("token"), "left")
+          .groupBy(col("mention_norm"), col("name_row_id"))
+          .agg(count(lit(1)).as("matched_tokens"),
+            sum(coalesce(col("idf"), lit(0.0))).as("idf_sum"))
+      } else {
+        // ---- pipeline generation (minimum_should_match = min(2, ntok)):
+        // multi-token mentions generate via TOKEN-PAIR posting lists —
+        // a candidate sharing ≥2 tokens shares ≥1 pair, and pair lists
+        // stay short no matter how common the individual tokens get
+        // ("garen ashford" vs every "ashford"). Single-token mentions use
+        // the (blocked) single-token path; fuzzy candidates always join.
+        val pairTable = index.postingsPair.getOrElse(sys.error(
+          "minShouldMatch generation needs NameIndexTables.postingsPair"))
+
+        val mN = mentionsD.filter(size(col("mention_tokens")) >= 2)
+        val mentionPairs = mN.select(col("mention_norm"),
+          explode(NameIndex.tokenPairs(col("mention_tokens"))).as("pair"))
+        // pair-df blocking with the same all-common fallback as tokens
+        val pairDf = pairTable.groupBy("pair").agg(count(lit(1)).as("df"))
+        val wM = Window.partitionBy(col("mention_norm"))
+        val mpKept = mentionPairs
+          .join(pairDf, Seq("pair"), "left")
+          .withColumn("df", coalesce(col("df"), lit(0L)))
+          .withColumn("min_df", min(col("df")).over(wM))
+          .filter(col("df") <= commonDf || col("min_df") > commonDf)
+          .select(col("mention_norm"), col("pair"))
+        val pairCands = mpKept.join(pairTable, Seq("pair"))
+          .select(col("mention_norm"), col("name_row_id"))
+
+        val m1 = mentionsD.filter(size(col("mention_tokens")) === 1)
+        val singleCands = exactTokenMatches(spark, m1, index.postings,
+          tokenDf, commonDf, cfg).select(col("mention_norm"), col("name_row_id"))
+
+        val cands = pairCands.union(singleCands)
+          .union(fuzzyTriples.select(col("mention_norm"), col("name_row_id")))
+          .distinct()
+
+        // stats from the token-set intersection (+ fuzzy-only tokens)
+        val withSets = cands
+          .join(index.names.select(col("name_row_id"), col("name_tokens")),
+            Seq("name_row_id"))
+          .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
+            Seq("mention_norm"))
+          .withColumn("shared", array_intersect(col("mention_tokens"), col("name_tokens")))
+        val exactStats = withSets
+          .select(col("mention_norm"), col("name_row_id"),
+            explode(col("shared")).as("token"))
+          .join(idf, Seq("token"), "left")
+          .groupBy(col("mention_norm"), col("name_row_id"))
+          .agg(count(lit(1)).as("n_ex"),
+            sum(coalesce(col("idf"), lit(0.0))).as("idf_ex"))
+        val fuzzStats = fuzzyTriples
+          .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
+            Seq("mention_norm"))
+          .filter(!array_contains(col("mention_tokens"), col("token")))
+          .join(idf, Seq("token"), "left")
+          .groupBy(col("mention_norm"), col("name_row_id"))
+          .agg(count(lit(1)).as("n_f"),
+            sum(coalesce(col("idf"), lit(0.0))).as("idf_f"))
+
+        withSets.select(col("mention_norm"), col("name_row_id"),
+            size(col("mention_tokens")).as("m_ntok"))
+          .join(exactStats, Seq("mention_norm", "name_row_id"), "left")
+          .join(fuzzStats, Seq("mention_norm", "name_row_id"), "left")
+          .select(col("mention_norm"), col("name_row_id"),
+            (coalesce(col("n_ex"), lit(0L)) + coalesce(col("n_f"), lit(0L)))
+              .as("matched_tokens"),
+            (coalesce(col("idf_ex"), lit(0.0)) + coalesce(col("idf_f"), lit(0.0)))
+              .as("idf_sum"),
+            col("m_ntok"))
+          .filter(col("matched_tokens") >= least(lit(2), col("m_ntok")))
+          .drop("m_ntok")
+      }
+
+    // ---- names split: slim columns for filter/score/cut; fat columns
+    //      (arrays, description) joined only AFTER the top-k cut ----
+    val namesSlim = index.names.select(col("name_row_id"), col("id"),
+      col("name_clean"), col("kind"), col("ner_type"), col("explicit_types"),
+      col("extended_types"), col("languages"), col("popularity_norm"))
+    val namesFat = index.names.select(col("name_row_id"), col("name"),
+      col("description"), col("types_text"), col("ntoken"), col("length"),
+      col("name_tokens"), col("name_grams"))
+
+    val cand = statsF.join(namesSlim, Seq("name_row_id"))
 
     // ---- deterministic lexical raw score (es_score substitute) ----
     val exactBoost = when(col("name_clean") === col("mention_norm") && !lit(cfg.fuzzy), 2.0)
@@ -215,19 +377,21 @@ object Linker {
 
     // ---- ambiguity features from the UNFILTERED match set (A5/A6,
     //      `_get_ambiguity_mention`:214-234, cut to top-limit by es_raw) ----
-    val wAmb = Window.partitionBy(col("mention_norm"))
-      .orderBy(col("es_raw").desc, col("id").asc, col("name_clean").asc)
-    val ambTop = scored0
-      .withColumn("amb_rank", row_number().over(wAmb))
-      .filter(col("amb_rank") <= cfg.limit)
-    val ambiguity = ambTop.groupBy("mention_norm").agg(
-      (countDistinct(when(col("name_clean") === col("mention_norm"), col("id")))
-        .cast("double") / countDistinct(col("id"))).as("ambiguity_mention"),
-      (size(array_intersect(
-        array_distinct(flatten(collect_list(split(col("name_clean"), " ")))),
-        Text.tokenSet(first(col("mention_norm"))))).cast("double") /
-        greatest(size(Text.tokenSet(first(col("mention_norm")))), lit(1)))
-        .as("corrects_tokens"))
+    def ambiguity = {
+      val wAmb = Window.partitionBy(col("mention_norm"))
+        .orderBy(col("es_raw").desc, col("id").asc, col("name_clean").asc)
+      scored0
+        .withColumn("amb_rank", row_number().over(wAmb))
+        .filter(col("amb_rank") <= cfg.limit)
+        .groupBy("mention_norm").agg(
+          (countDistinct(when(col("name_clean") === col("mention_norm"), col("id")))
+            .cast("double") / countDistinct(col("id"))).as("ambiguity_mention"),
+          (size(array_intersect(
+            array_distinct(flatten(collect_list(split(col("name_clean"), " ")))),
+            Text.tokenSet(first(col("mention_norm"))))).cast("double") /
+            greatest(size(Text.tokenSet(first(col("mention_norm")))), lit(1)))
+            .as("corrects_tokens"))
+    }
 
     // ---- hard filters (P3-P7) ----
     val filtered0 = Seq[Option[Column]](
@@ -254,22 +418,28 @@ object Linker {
       .withColumn("n_hits", count(lit(1)).over(wMention))
       .withColumn("pos_score", col("pos").cast("double") / col("n_hits"))
       .withColumn("es_score", col("es_raw") / max(col("es_raw")).over(wMention))
+      // fat name columns + mention sets only touch post-cut rows
+      .join(namesFat, Seq("name_row_id"))
+      .join(mentionsD, Seq("mention_norm"))
 
-    // ---- similarity features (F2-F4) ----
+    // ---- similarity features (F2-F4) over the PRE-BUILT sets ----
     val feat = cut
       .withColumn("ed_score",
         Similarity.editDistanceScore(col("name_clean"), col("mention_norm")))
       .withColumn("jaccard_score",
-        Similarity.tokenJaccard(col("name_clean"), col("mention_norm")))
+        Similarity.setOverlapScore(col("name_tokens"), col("mention_tokens")))
       .withColumn("jaccardNgram_score",
-        Similarity.ngramJaccard(col("name_clean"), col("mention_norm"), 3))
-      .join(ambiguity, Seq("mention_norm"), "left")
+        Similarity.setOverlapScore(col("name_grams"), col("mention_grams")))
+    val withAmbiguity =
+      if (cfg.computeAmbiguity) feat.join(ambiguity, Seq("mention_norm"), "left")
+      else feat.withColumn("ambiguity_mention", lit(null).cast("double"))
+        .withColumn("corrects_tokens", lit(null).cast("double"))
 
     // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
     //      first in result order (pos asc) ----
     val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
       .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
-    feat
+    withAmbiguity
       .withColumn("variant_rank", row_number().over(wEnt))
       .filter(col("variant_rank") === 1)
       .select(
@@ -310,4 +480,6 @@ object Linker {
 
 /** The three index tables produced by NameIndex (bucketable sides of the
   * candidate-gen joins). */
-case class NameIndexTables(names: DataFrame, postings: DataFrame, postings3g: DataFrame)
+case class NameIndexTables(names: DataFrame, postings: DataFrame,
+                           postings3g: DataFrame,
+                           postingsPair: Option[DataFrame] = None)

@@ -108,6 +108,10 @@ object NameIndex {
         col("description"), col("popularity_norm"),
         Text.ntoken(col("name")).as("ntoken"),
         length(col("name")).as("length"),
+        // token/3-gram sets precomputed ONCE here so candidate scoring is
+        // an array_intersect per pair, not a per-pair set build
+        Text.tokenSet(col("name_clean")).as("name_tokens"),
+        Text.ngramSet(col("name_clean"), 3).as("name_grams"),
         // stable row key for posting lists
         (xxhash64(col("entity"), col("name_clean")) .bitwiseAND(lit(Long.MaxValue)))
           .as("name_row_id"))
@@ -120,14 +124,35 @@ object NameIndex {
       .select(col("name_row_id"), explode(Text.tokenSet(col("name_clean"))).as("token"))
       .distinct()
 
-  /** Char-3-gram posting list (gram, token, name_row_id) for the fuzzy
-    * candidate path (per-token grams; token kept for the levenshtein
-    * re-check join). */
+  /** VOCABULARY-level char-3-gram table (gram, token) for the fuzzy path —
+    * the realization of ES's term dictionary: fuzzy expansion resolves a
+    * mention token to matching index TOKENS first (vocabulary scale), and
+    * only the accepted tokens touch the posting lists. Carrying
+    * name_row_id through the gram join instead would multiply the join by
+    * posting-list length — quadratic at corpus scale. */
   def postings3g(namesDf: DataFrame, n: Int = 3): DataFrame =
     namesDf
-      .select(col("name_row_id"), explode(Text.tokenSet(col("name_clean"))).as("token"))
+      .select(explode(Text.tokenSet(col("name_clean"))).as("token"))
       .distinct()
-      .select(col("name_row_id"), col("token"),
-        explode(Text.tokenNgrams(col("token"), n)).as("gram"))
+      .select(col("token"), explode(Text.tokenNgrams(col("token"), n)).as("gram"))
+      .distinct()
+
+  /** All sorted 2-subsets of a (sorted, distinct) token array, encoded
+    * "a|b". Empty for <2 tokens. */
+  def tokenPairs(tokens: Column): Column =
+    when(size(tokens) < 2, array().cast("array<string>"))
+      .otherwise(flatten(transform(sequence(lit(0), size(tokens) - 2), i =>
+        transform(slice(tokens, i + 2, size(tokens) - i - 1),
+          t => concat(element_at(tokens, i + 1), lit("|"), t)))))
+
+  /** Token-PAIR posting list (pair, name_row_id) — the candidate-blocking
+    * index for multi-token mentions: a candidate that shares ≥2 tokens
+    * with a mention shares ≥1 token pair, and pair posting lists are
+    * shorter than single-token lists by orders of magnitude ("garen
+    * ashford" vs every "ashford"). This is what keeps full-name lookups
+    * linear when single-name-token df grows with the corpus. */
+  def postingsPair(namesDf: DataFrame): DataFrame =
+    namesDf
+      .select(col("name_row_id"), explode(tokenPairs(col("name_tokens"))).as("pair"))
       .distinct()
 }

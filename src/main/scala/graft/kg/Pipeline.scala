@@ -37,8 +37,9 @@ object Pipeline {
     * @param workDir   stage-commit directory (checkpoint root) */
   def run(spark: SparkSession, pages: DataFrame, dumpLines: DataFrame,
           workDir: String,
-          cfg: LinkerConfig = LinkerConfig(limit = 1000, fuzzy = true,
-            cutByRelevance = true),
+          cfg: LinkerConfig = LinkerConfig(limit = 32, fuzzy = true,
+            cutByRelevance = true, computeAmbiguity = false,
+            minShouldMatch = true),
           minLinkScore: Double = 1.2): StageOutputs = {
 
     def committed(stage: String): Boolean =
@@ -82,6 +83,7 @@ object Pipeline {
     val names = stage("names") { NameIndex.names(items) }
     val postings = stage("postings") { NameIndex.postings(names) }
     val postings3g = stage("postings3g") { NameIndex.postings3g(names) }
+    val postingsPair = stage("postings_pair") { NameIndex.postingsPair(names) }
 
     // ---- document side ----
     val mentions = stage("mentions") {
@@ -93,7 +95,7 @@ object Pipeline {
     // ---- linking ----
     val links = stage("links") {
       val cands = Linker.lookup(spark, mentions,
-        NameIndexTables(names, postings, postings3g), cfg)
+        NameIndexTables(names, postings, postings3g, Some(postingsPair)), cfg)
       Linker.linkBest(cands, minLinkScore)
         .select(col("mention_norm"), col("id").as("qid"), col("link_score"))
     }

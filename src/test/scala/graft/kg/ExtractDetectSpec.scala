@@ -26,9 +26,9 @@ class ExtractDetectSpec extends SparkSpec {
       .select(ExtractText.extract(col("html")).as("t"), col("url"))
       .agg(sum(crc32(concat(col("url"), lit("|"), col("t")))).as("h"))
       .first().getLong(0)
-    // frozen 2026-08-16; any change to the rule chain or the page
+    // frozen 2026-08-17; any change to the rule chain or the page
     // generator must be deliberate and re-frozen here
-    assert(h == 616387827206L)
+    assert(h == 631330616265L)
   }
 
   test("extraction handles entities, comments, script/style, nbsp") {
