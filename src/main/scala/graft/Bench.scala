@@ -73,7 +73,7 @@ object Bench {
     // ---- 3. pipeline at two parallelism levels ----
     case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
                    triplesPerSec: Double, triples: Long)
-    val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,32")
+    val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4,16")
       .split(",").map(_.trim.toInt).toSeq
     val legs = legCores.map { cores =>
       val s = session(cores)
@@ -86,7 +86,8 @@ object Bench {
       s.stop()
       Leg(cores, sec, nPages / sec, nTriples / sec, nTriples)
     }
-    val eff = (legs(1).triplesPerSec / legs(0).triplesPerSec) / 4.0
+    val eff = (legs.last.triplesPerSec / legs.head.triplesPerSec) /
+      (legs.last.cores.toDouble / legs.head.cores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -117,9 +117,8 @@ object Linker {
     import spark.implicits._
     val mtok = blockedMentionTokens(mentionsD, tokenDf, commonDf)
 
-    // hot tokens by posting-list length (computed once per run; tiny result)
-    val hot = postings.groupBy("token").count()
-      .filter(col("count") >= cfg.hotTokenDf)
+    // hot tokens from the already-computed df table (tiny result)
+    val hot = tokenDf.filter(col("df") >= cfg.hotTokenDf)
       .select("token").as[String].collect().toSet
 
     if (hot.isEmpty) {
@@ -297,20 +296,26 @@ object Linker {
           .union(fuzzyTriples.select(col("mention_norm"), col("name_row_id")))
           .distinct()
 
-        // stats from the token-set intersection (+ fuzzy-only tokens)
+        // stats from the token-set intersection (+ fuzzy-only tokens).
+        // idf per matched token comes from a per-NAME-ROW token→idf map
+        // (built once at vocabulary scale), so the per-candidate work is a
+        // pure array fold — no explode / join / groupBy over candidates.
+        val namesIdf = index.names
+          .select(col("name_row_id"), explode(col("name_tokens")).as("token"))
+          .join(idf, Seq("token"), "left")
+          .groupBy("name_row_id")
+          .agg(map_from_entries(collect_list(
+            struct(col("token"), coalesce(col("idf"), lit(0.0))))).as("idf_map"))
         val withSets = cands
           .join(index.names.select(col("name_row_id"), col("name_tokens")),
             Seq("name_row_id"))
+          .join(namesIdf, Seq("name_row_id"))
           .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
             Seq("mention_norm"))
           .withColumn("shared", array_intersect(col("mention_tokens"), col("name_tokens")))
-        val exactStats = withSets
-          .select(col("mention_norm"), col("name_row_id"),
-            explode(col("shared")).as("token"))
-          .join(idf, Seq("token"), "left")
-          .groupBy(col("mention_norm"), col("name_row_id"))
-          .agg(count(lit(1)).as("n_ex"),
-            sum(coalesce(col("idf"), lit(0.0))).as("idf_ex"))
+          .withColumn("n_ex", size(col("shared")).cast("long"))
+          .withColumn("idf_ex", aggregate(col("shared"), lit(0.0),
+            (acc, t) => acc + coalesce(element_at(col("idf_map"), t), lit(0.0))))
         val fuzzStats = fuzzyTriples
           .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
             Seq("mention_norm"))
@@ -321,14 +326,11 @@ object Linker {
             sum(coalesce(col("idf"), lit(0.0))).as("idf_f"))
 
         withSets.select(col("mention_norm"), col("name_row_id"),
-            size(col("mention_tokens")).as("m_ntok"))
-          .join(exactStats, Seq("mention_norm", "name_row_id"), "left")
+            col("n_ex"), col("idf_ex"), size(col("mention_tokens")).as("m_ntok"))
           .join(fuzzStats, Seq("mention_norm", "name_row_id"), "left")
           .select(col("mention_norm"), col("name_row_id"),
-            (coalesce(col("n_ex"), lit(0L)) + coalesce(col("n_f"), lit(0L)))
-              .as("matched_tokens"),
-            (coalesce(col("idf_ex"), lit(0.0)) + coalesce(col("idf_f"), lit(0.0)))
-              .as("idf_sum"),
+            (col("n_ex") + coalesce(col("n_f"), lit(0L))).as("matched_tokens"),
+            (col("idf_ex") + coalesce(col("idf_f"), lit(0.0))).as("idf_sum"),
             col("m_ntok"))
           .filter(col("matched_tokens") >= least(lit(2), col("m_ntok")))
           .drop("m_ntok")

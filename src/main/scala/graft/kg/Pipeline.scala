@@ -57,20 +57,45 @@ object Pipeline {
           .groupBy(spark_partition_id().as("part_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
-          .withColumn("stage", lit(name))
           .withColumn("wall_ms", lit(wallMs))
-          .select("stage", "part_id", "output_rows", "checksum", "wall_ms")
-        lineage.write.mode("append").parquet(s"$workDir/_lineage")
+          .select("part_id", "output_rows", "checksum", "wall_ms")
+        // one partition dir per stage (hive-style, `stage` recovered as a
+        // partition column on read) — stages commit lineage CONCURRENTLY,
+        // and appends to a shared path would race on _temporary
+        lineage.write.mode("overwrite").parquet(s"$workDir/_lineage/stage=$name")
       }
       spark.read.parquet(path)
     }
 
-    // ---- KG side ----
+    // Independent stage chains run CONCURRENTLY (Spark schedules jobs from
+    // multiple driver threads freely): the document side (extract+detect),
+    // the literals table and canonicalization overlap the KG chain, and
+    // the three posting tables overlap each other — the per-stage commit
+    // latency of one chain hides behind another's compute.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     val parsed = ParseEntities.parse(dumpLines)
     val claims = ParseEntities.claims(parsed)
 
+    val fLiterals = Future { stage("literals") { ParseEntities.literals(claims) } }
+    val fMentions = Future {
+      stage("mentions") {
+        val extracted = pages
+          .withColumn("extracted_text", ExtractText.extract(col("html")))
+        DetectMentions.mentions(extracted, "extracted_text")
+      }
+    }
+
     val objects = stage("objects") { ParseEntities.objects(claims) }
-    val literals = stage("literals") { ParseEntities.literals(claims) }
+    val fCanon = Future {
+      stage("canon") {
+        val equiv = objects.filter(col("pred") === "P460")
+          .select(col("subj").as("src"), col("obj").as("dst"))
+        Triples.canonMap(equiv)
+      }
+    }
     val closure = stage("closure") {
       val edges = objects.filter(col("pred") === "P279")
         .select(col("subj").as("child"), col("obj").as("parent"))
@@ -81,16 +106,14 @@ object Pipeline {
         NerSeeds.geoSeeds(spark, closure), NerSeeds.orgSeeds(spark, closure))
     }
     val names = stage("names") { NameIndex.names(items) }
-    val postings = stage("postings") { NameIndex.postings(names) }
-    val postings3g = stage("postings3g") { NameIndex.postings3g(names) }
-    val postingsPair = stage("postings_pair") { NameIndex.postingsPair(names) }
-
-    // ---- document side ----
-    val mentions = stage("mentions") {
-      val extracted = pages
-        .withColumn("extracted_text", ExtractText.extract(col("html")))
-      DetectMentions.mentions(extracted, "extracted_text")
-    }
+    val fPostings = Future { stage("postings") { NameIndex.postings(names) } }
+    val fPostings3g = Future { stage("postings3g") { NameIndex.postings3g(names) } }
+    val fPostingsPair = Future { stage("postings_pair") { NameIndex.postingsPair(names) } }
+    val postings = Await.result(fPostings, Duration.Inf)
+    val postings3g = Await.result(fPostings3g, Duration.Inf)
+    val postingsPair = Await.result(fPostingsPair, Duration.Inf)
+    val mentions = Await.result(fMentions, Duration.Inf)
+    val literals = Await.result(fLiterals, Duration.Inf)
 
     // ---- linking ----
     val links = stage("links") {
@@ -101,11 +124,7 @@ object Pipeline {
     }
 
     // ---- canonicalization + triples ----
-    val canon = stage("canon") {
-      val equiv = objects.filter(col("pred") === "P460")
-        .select(col("subj").as("src"), col("obj").as("dst"))
-      Triples.canonMap(equiv)
-    }
+    val canon = Await.result(fCanon, Duration.Inf)
     val pageLinks = stage("page_links") {
       val raw = mentions.join(links, Seq("mention_norm"))
         .select(col("url"), col("qid"))
