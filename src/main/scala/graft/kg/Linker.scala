@@ -230,6 +230,54 @@ object Linker {
     *                  the types enrichment join (J5); pass names of items. */
   def lookup(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
              cfg: LinkerConfig = LinkerConfig()): DataFrame = {
+    val feat2 = scoredFeatures(spark, mentions, index, cfg)
+
+    // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
+    //      first in result order (pos asc) ----
+    val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
+      .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
+    feat2
+      .withColumn("variant_rank", row_number().over(wEnt))
+      .filter(col("variant_rank") === 1)
+      .select(
+        col("mention_norm"), col("id"), col("name"), col("description"),
+        split(col("types_text"), " ").as("types"),
+        col("kind"), col("ner_type").as("NERtype"),
+        col("explicit_types"), col("extended_types"),
+        col("ambiguity_mention"), col("corrects_tokens"),
+        Text.ntoken(col("mention_norm")).as("ntoken_mention"),
+        col("ntoken").as("ntoken_entity"),
+        length(col("mention_norm")).as("length_mention"),
+        col("length").as("length_entity"),
+        col("popularity_norm").as("popularity"),
+        col("pos_score"), col("es_score"), col("ed_score"),
+        col("jaccard_score"), col("jaccardNgram_score"),
+        col("pos").as("rank"))
+  }
+
+  /** One-shot pipeline linking: the scored-candidate core + a SINGLE
+    * top-1-per-mention window on the linking composite (the A7 variant
+    * dedup is subsumed — the argmax row is the same entity either way),
+    * saving two full exchange+sort passes vs lookup→linkBest.
+    * Output: (mention_norm, qid, link_score). */
+  def linkTop1(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
+               cfg: LinkerConfig, minScore: Double): DataFrame = {
+    val feat2 = scoredFeatures(spark, mentions, index, cfg)
+    val composite = col("ed_score") + col("jaccard_score") +
+      col("jaccardNgram_score") + lit(0.5) * col("es_score")
+    val w = Window.partitionBy(col("mention_norm"))
+      .orderBy(composite.desc, col("popularity_norm").desc, col("id").asc)
+    feat2
+      .withColumn("link_score", composite)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1 && col("link_score") >= minScore)
+      .select(col("mention_norm"), col("id").as("qid"), col("link_score"))
+  }
+
+  /** Shared core of lookup/linkTop1: candidate generation + filters +
+    * cut + per-mention normalization + similarity features. */
+  private def scoredFeatures(spark: SparkSession, mentions: DataFrame,
+                             index: NameIndexTables, cfg: LinkerConfig): DataFrame = {
     val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
 
     val nRows = index.names.count().toDouble
@@ -432,32 +480,9 @@ object Linker {
         Similarity.setOverlapScore(col("name_tokens"), col("mention_tokens")))
       .withColumn("jaccardNgram_score",
         Similarity.setOverlapScore(col("name_grams"), col("mention_grams")))
-    val withAmbiguity =
-      if (cfg.computeAmbiguity) feat.join(ambiguity, Seq("mention_norm"), "left")
-      else feat.withColumn("ambiguity_mention", lit(null).cast("double"))
-        .withColumn("corrects_tokens", lit(null).cast("double"))
-
-    // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
-    //      first in result order (pos asc) ----
-    val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
-      .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
-    withAmbiguity
-      .withColumn("variant_rank", row_number().over(wEnt))
-      .filter(col("variant_rank") === 1)
-      .select(
-        col("mention_norm"), col("id"), col("name"), col("description"),
-        split(col("types_text"), " ").as("types"),
-        col("kind"), col("ner_type").as("NERtype"),
-        col("explicit_types"), col("extended_types"),
-        col("ambiguity_mention"), col("corrects_tokens"),
-        Text.ntoken(col("mention_norm")).as("ntoken_mention"),
-        col("ntoken").as("ntoken_entity"),
-        length(col("mention_norm")).as("length_mention"),
-        col("length").as("length_entity"),
-        col("popularity_norm").as("popularity"),
-        col("pos_score"), col("es_score"), col("ed_score"),
-        col("jaccard_score"), col("jaccardNgram_score"),
-        col("pos").as("rank"))
+    if (cfg.computeAmbiguity) feat.join(ambiguity, Seq("mention_norm"), "left")
+    else feat.withColumn("ambiguity_mention", lit(null).cast("double"))
+      .withColumn("corrects_tokens", lit(null).cast("double"))
   }
 
   /** Stage-9 linking decision: best accepted entity per mention.

@@ -117,10 +117,9 @@ object Pipeline {
 
     // ---- linking ----
     val links = stage("links") {
-      val cands = Linker.lookup(spark, mentions,
-        NameIndexTables(names, postings, postings3g, Some(postingsPair)), cfg)
-      Linker.linkBest(cands, minLinkScore)
-        .select(col("mention_norm"), col("id").as("qid"), col("link_score"))
+      Linker.linkTop1(spark, mentions,
+        NameIndexTables(names, postings, postings3g, Some(postingsPair)),
+        cfg, minLinkScore)
     }
 
     // ---- canonicalization + triples ----
