@@ -56,10 +56,15 @@ object ExtractText {
     }
   }
 
+  // pure-regex form of: per line collapse horizontal whitespace + trim,
+  // drop empty lines, join with \n. Higher-order transform/filter lambdas
+  // would fall out of whole-stage codegen — this chain stays fused into
+  // the page scan.
   private def normalizeWhitespace(c: Column): Column = {
-    val lines = split(c, "\n")
-    val cleaned = transform(lines, l => trim(regexp_replace(l, "[ \\t\\x0B\\f\\r]+", " ")))
-    array_join(filter(cleaned, l => l =!= ""), "\n")
+    val horiz = regexp_replace(c, "[ \\t\\x0B\\f\\r]+", " ")
+    val trimmedLines = regexp_replace(horiz, " ?\\n ?", "\n")
+    val collapsed = regexp_replace(trimmedLines, "\\n+", "\n")
+    regexp_replace(collapsed, "^[\\n ]+|[\\n ]+$", "")
   }
 
   /** html binary column → extracted text column (the frozen rule chain). */

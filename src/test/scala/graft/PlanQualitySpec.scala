@@ -1,0 +1,83 @@
+package graft
+
+import graft.kg._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions — the plans we ship are the plans we want
+  * (broadcasts where a side is small, pushdown reaching the scan, wide
+  * whole-stage-codegen spans), not just the first plan that passed. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("retrieval $in joins broadcast the request-id side (J1)") {
+    val items = Fixtures.dumpLines(spark, 50)
+      .transform(ParseEntities.parse)
+      .select(col("e.id").as("entity"), lit(Array("Q5")).as("p31"),
+        lit(Array.empty[String]).as("p279"))
+    val plan = planOf(Retrieval.getTypes(items, Seq("Q100000").toDF("entity")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join:\n$plan")
+  }
+
+  test("parquet scan gets filter pushdown + column pruning") {
+    val dir = Files.createTempDirectory("plan-pq").toString
+    Fixtures.pages(spark, 50, 100).write.parquet(s"$dir/pages")
+    val q = spark.read.parquet(s"$dir/pages")
+      .filter(col("lang") === "en").select("url", "lang")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<url:string,lang:string>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("extraction + detection stay in one codegen'd narrow stage") {
+    // over a parquet-backed table (the production shape) — the generator's
+    // typed map would split the span in-memory
+    val dir = Files.createTempDirectory("plan-ex").toString
+    Fixtures.pages(spark, 20, 50).write.parquet(s"$dir/pages")
+    val df = spark.read.parquet(s"$dir/pages")
+      .select(col("url"), ExtractText.extract(col("html")).as("t"))
+    val plan = planOf(df)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    assert(plan.contains("*(1) Project"), s"extraction Project not codegen'd:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("salted candidate join exchanges on (token, salt), not token alone") {
+    val names = Seq(("Q1", "alpha beta", 1L), ("Q2", "alpha gamma", 2L))
+      .toDF("id", "name_clean", "name_row_id")
+    val postings = NameIndex.postings(names.withColumn("name_clean", col("name_clean")))
+    val mentions = Seq("alpha beta").toDF("surface")
+      .select(graft.core.Text.cleanStr(col("surface")).as("mention_norm"))
+    val mentionsD = Linker.distinctMentions(mentions)
+    val tokenDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val salted = Linker.exactTokenMatches(spark, mentionsD, postings, tokenDf,
+      commonDf = 100, cfg = LinkerConfig(hotTokenDf = 1L, saltShards = 4))
+    val plan = planOf(salted)
+    assert(plan.contains("salt"), s"salt column missing from join plan:\n$plan")
+  }
+
+  test("flagship lookup plan: no cartesian products, no driver collects") {
+    val dump = Fixtures.dumpLines(spark, 100)
+    val parsed = ParseEntities.parse(dump)
+    val claims = ParseEntities.claims(parsed)
+    val objects = ParseEntities.objects(claims)
+    val closure = graft.graph.TypeClosure.closure(
+      objects.filter(col("pred") === "P279")
+        .select(col("subj").as("child"), col("obj").as("parent")))
+    val items = ParseEntities.items(parsed, closure,
+      NerSeeds.geoSeeds(spark, closure), NerSeeds.orgSeeds(spark, closure))
+    val names = NameIndex.names(items)
+    val idx = NameIndexTables(names, NameIndex.postings(names),
+      NameIndex.postings3g(names), Some(NameIndex.postingsPair(names)))
+    val out = Linker.lookup(spark, Seq("alderton").toDF("mention_norm"), idx,
+      LinkerConfig(limit = 10))
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+}
