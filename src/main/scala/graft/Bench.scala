@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *     local[N] levels on the same pre-generated corpus — per driver
   *     instructions): pages/sec + triples/sec per leg and
   *     efficiency = (thr_high/thr_low) / (cores_high/cores_low).
-  *     Legs via SPARK_GRAFT_BENCH_CORES (default "4,16"); see BASELINE.md
+  *     Legs via SPARK_GRAFT_BENCH_CORES (default "1,4"); see BASELINE.md
   *     for the measured efficiency-vs-corpus-size table (0.76 at 1→4
   *     cores on 768k pages; latency-floor decomposition there).
   *
@@ -78,7 +78,7 @@ object Bench {
     // ---- 3. pipeline at two parallelism levels ----
     case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
                    triplesPerSec: Double, triples: Long)
-    val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4,16")
+    val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     val legs = legCores.map { cores =>
       val s = session(cores)
