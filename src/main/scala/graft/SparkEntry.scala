@@ -183,17 +183,37 @@ object SparkEntry {
     }),
 
     "q_literal_classify" -> ((s, dir) => {
-      // F10/N3: ordered regex cascade + xsd mapping
+      // F10/N3: the verbatim reference cascade (literal_recognizer.py:22-86)
+      // + xsd mapping, over 16 literal shapes hitting every pattern group:
+      // ISO date, datetime-with-space (STRING in the reference), strict
+      // TIME, URL, EMAIL, dot/comma FLOAT, INTEGER, "145 bc", grouped
+      // numbers, year ranges, "26 august 1997", unit floats, "42 thousand",
+      // T-separator DATETIME.
       val e = t(s, dir, "events")
-      val lit8 = col("event_id") % 8
-      val litCol = when(lit8 === 0, date_format(col("ts"), "yyyy-MM-dd"))
-        .when(lit8 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-        .when(lit8 === 2, date_format(col("ts"), "HH:mm:ss"))
-        .when(lit8 === 3, concat(lit("http://example.com/"), col("event_type")))
-        .when(lit8 === 4, concat(col("event_type"), lit("@example.com")))
-        .when(lit8 === 5, concat(regexp_extract(col("props"), "[0-9]+", 0), lit(".5")))
-        .when(lit8 === 6, regexp_extract(col("props"), "[0-9]+", 0))
-        .otherwise(col("event_type"))
+      val id = col("event_id")
+      val lit16 = pmod(id, lit(16))
+      val litCol = when(lit16 === 0, date_format(col("ts"), "yyyy-MM-dd"))
+        .when(lit16 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(lit16 === 2, date_format(col("ts"), "HH:mm"))
+        .when(lit16 === 3, concat(lit("http://"), col("event_type"), lit(".com")))
+        .when(lit16 === 4, concat(col("event_type"), lit("@example.com")))
+        .when(lit16 === 5, concat((id % 1000).cast("string"), lit("."), (id % 97).cast("string")))
+        .when(lit16 === 6, (id % 100000).cast("string"))
+        .when(lit16 === 7, col("event_type"))
+        .when(lit16 === 8, concat((id % 9999 + 1).cast("string"), lit(" bc")))
+        .when(lit16 === 9, concat((id % 9 + 1).cast("string"), lit(","),
+          (id % 997).cast("string"), lit(","), (id % 811).cast("string")))
+        .when(lit16 === 10, concat((id % 100 + 1900).cast("string"), lit("–"),
+          (id % 26 + 2000).cast("string")))
+        .when(lit16 === 11, concat((id % 28 + 1).cast("string"), lit(" august "),
+          (id % 120 + 1900).cast("string")))
+        .when(lit16 === 12, concat((id % 1000).cast("string"), lit(","), (id % 89).cast("string")))
+        .when(lit16 === 13, concat((id % 5000).cast("string"), lit(" km")))
+        .when(lit16 === 14, concat((id % 500).cast("string"), lit(" thousand")))
+        .otherwise(concat(lit("2025-"), lpad((id % 12 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((id % 28 + 1).cast("string"), 2, "0"), lit("T"),
+          lpad((id % 24).cast("string"), 2, "0"), lit(":"),
+          lpad((id % 60).cast("string"), 2, "0")))
       val classified = e.withColumn("literal", litCol)
         .withColumn("label", Literals.classify(col("literal")))
       classified
@@ -570,15 +590,26 @@ object SparkEntry {
 
     "q_literal_classify" -> {
       val litExpr =
-        """(CASE event_id % 8
+        """(CASE event_id % 16
             WHEN 0 THEN strftime(ts, '%Y-%m-%d')
             WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
-            WHEN 2 THEN strftime(ts, '%H:%M:%S')
-            WHEN 3 THEN 'http://example.com/' || event_type
+            WHEN 2 THEN strftime(ts, '%H:%M')
+            WHEN 3 THEN 'http://' || event_type || '.com'
             WHEN 4 THEN event_type || '@example.com'
-            WHEN 5 THEN regexp_extract(props, '[0-9]+') || '.5'
-            WHEN 6 THEN regexp_extract(props, '[0-9]+')
-            ELSE event_type END)"""
+            WHEN 5 THEN (event_id % 1000) || '.' || (event_id % 97)
+            WHEN 6 THEN CAST(event_id % 100000 AS VARCHAR)
+            WHEN 7 THEN event_type
+            WHEN 8 THEN (event_id % 9999 + 1) || ' bc'
+            WHEN 9 THEN (event_id % 9 + 1) || ',' || (event_id % 997) || ',' || (event_id % 811)
+            WHEN 10 THEN (event_id % 100 + 1900) || '–' || (event_id % 26 + 2000)
+            WHEN 11 THEN (event_id % 28 + 1) || ' august ' || (event_id % 120 + 1900)
+            WHEN 12 THEN (event_id % 1000) || ',' || (event_id % 89)
+            WHEN 13 THEN (event_id % 5000) || ' km'
+            WHEN 14 THEN (event_id % 500) || ' thousand'
+            ELSE '2025-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+              || 'T' || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0')
+              || ':' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') END)"""
       s"""WITH c AS (SELECT event_id, $litExpr AS literal FROM events),
           l AS (SELECT event_id, literal, ${Literals.classifySql("literal")} AS label FROM c)
           SELECT event_id, literal, label, ${Literals.xsdSql("label")} AS xsd_type

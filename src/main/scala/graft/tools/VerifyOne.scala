@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev harness: dump a SUBSET of SparkEntry.queries (args = sfDir outDir
+  * q1 q2 …) to parquet + their oracle SQL, for quick DuckDB cross-checks
+  * without running the full Verify suite. */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"[verifyone] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // subset oracle_sql.json so tools/compare.py works unchanged
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
