@@ -33,8 +33,10 @@ object SparkEntry {
     xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ",", "]")
   private def cleanSql(x: String): String =
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
+  // list_sort matches Text.tokenSet's array_sort (DuckDB list_distinct is
+  // NOT sorted) — order matters wherever pairs/sequences derive from it
   private def tokSetSql(x: String): String =
-    s"list_distinct(string_split(${cleanSql(x)}, ' '))"
+    s"list_sort(list_distinct(string_split(${cleanSql(x)}, ' ')))"
   private val stopwordsSql = sqlList(Text.EnglishStopwords)
 
   /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
@@ -283,6 +285,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_embed_lsh" -> ((s, dir) => {
+      // scale path for embedding near-dup: multi-table random-hyperplane
+      // buckets + exact verification. Params sized for the synthetic
+      // corpus (random 64-d vectors, threshold 0.5): 1-bit tables ×10 ⇒
+      // per-pair miss probability (θ/π)^… < 2e-5 — recall 1 on this data,
+      // so the brute-force SQL is a full hash oracle, not rows-only.
+      Ann.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.5, nBits = 1, nTables = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search ----
     "q_ann_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -292,9 +305,11 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN; engine-defined hyperplanes ⇒ rows-only oracle.
+      // LSH-bucketed ANN, multi-table; engine-defined hyperplanes ⇒
+      // rows-only oracle (recall vs brute force asserted in AnnSpec).
       val embs = t(s, dir, "embeddings")
-      Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5, nBits = 4)
+      Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+          nBits = 4, nTables = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -457,28 +472,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- flagship: lookup candidate-gen + scoring + top-k (SURVEY §3.1) ----
+    // ---- flagship: PRODUCTION candidate-gen path — token-pair posting
+    //      lists + common-pair blocking (Linker.blockedMentionTokens /
+    //      NameIndex.tokenPairs+postingsPair) + min-should-match + scoring
+    //      + top-k. The naive unblocked token join this replaces was a
+    //      skewed mega-posting join (TPC-H part names draw 5 tokens from a
+    //      ~90-word vocabulary); pair posting lists stay short no matter
+    //      how common the individual tokens get. ----
     "q_lookup_candidates" -> ((s, dir) => {
-      // mentions = token-swapped part names (deterministic "noisy surface
-      // forms"); index = part names; token inverted-index join → ed/jaccard
-      // scoring → per-mention top-3 (lookup_retriever.py §2.8 semantics)
       val parts = t(s, dir, "part")
-        .select(col("p_partkey"), lower(col("p_name")).as("name"))
+        .select(col("p_partkey"), Text.cleanStr(col("p_name")).as("name"))
+        .withColumn("name_tokens", Text.tokenSet(col("name")))
+      // mentions: every 7th part, words swapped ("small ring" → "ring small")
+      val words = split(col("name"), " ")
       val mentions = parts.filter(col("p_partkey") % 7 === 0)
         .select(col("p_partkey").as("mention_id"),
-          concat_ws(" ",
-            element_at(split(col("name"), " "), 2),
-            element_at(split(col("name"), " "), 1)).as("mention"))
-      val mtok = mentions.select(col("mention_id"), col("mention"),
-        explode(Text.tokenSet(col("mention"))).as("tok"))
-      val ptok = parts.select(col("p_partkey"), col("name"),
-        explode(Text.tokenSet(col("name"))).as("tok"))
-      val cands = mtok.join(ptok, "tok")
-        .select(col("mention_id"), col("mention"), col("p_partkey"), col("name"))
+          concat_ws(" ", element_at(words, 2), element_at(words, 1)).as("mention"))
+        .withColumn("mention_tokens", Text.tokenSet(col("mention")))
+      // production pair-posting index (NameIndex.postingsPair shape)
+      val pairTable = graft.kg.NameIndex.postingsPair(
+        parts.select(col("p_partkey").as("name_row_id"), col("name_tokens")))
+      val pairDf = pairTable.groupBy("pair").agg(count(lit(1)).as("df"))
+      // production blocking rule (Linker.blockedMentionTokens) over PAIRS:
+      // a common pair generates no candidates unless every pair is common
+      val mentionPairs = mentions.select(col("mention").as("mention_norm"),
+        graft.kg.NameIndex.tokenPairs(col("mention_tokens")).as("mention_tokens"))
+      val kept = graft.kg.Linker.blockedMentionTokens(mentionPairs,
+        pairDf.withColumnRenamed("pair", "token"), GateCommonDf)
+      val cands = kept.withColumnRenamed("token", "pair")
+        .join(pairTable, Seq("pair"))
+        .select(col("mention_norm").as("mention"), col("name_row_id").as("p_partkey"))
         .distinct()
+      // min-should-match (min(2, ntokens)) + features post-generation
       val scored = cands
+        .join(mentions.select(col("mention_id"), col("mention"), col("mention_tokens")),
+          Seq("mention"))
+        .join(parts.select(col("p_partkey"), col("name"), col("name_tokens")),
+          Seq("p_partkey"))
+        .filter(size(array_intersect(col("mention_tokens"), col("name_tokens"))) >=
+          least(lit(2), size(col("mention_tokens"))))
         .withColumn("ed", Similarity.editDistanceScore(col("mention"), col("name")))
-        .withColumn("jac", Similarity.tokenJaccard(col("mention"), col("name")))
+        .withColumn("jac",
+          Similarity.setOverlapScore(col("mention_tokens"), col("name_tokens")))
       val w = Window.partitionBy(col("mention_id"))
         .orderBy((col("ed") + col("jac")).desc, col("p_partkey"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -489,6 +524,14 @@ object SparkEntry {
         .orderBy(col("mention_id"), col("rank"))
     })
   )
+
+  /** Flagship-gate blocking threshold (pair-df cut), shared verbatim by the
+    * Spark path and the generated DuckDB oracle. Part names are 2 tokens
+    * from a 16-word vocabulary, so mentions carry a single pair and the
+    * all-common fallback (min_df > cut) keeps it — the rule runs on the
+    * production code path; its dropping behavior is unit-tested in
+    * LinkerSpec where mentions have rare+common token mixes. */
+  private val GateCommonDf = 8L
 
   // =====================================================================
   // oracleSql — DuckDB equivalents. Keys absent here ⇒ rows-only check
@@ -685,6 +728,17 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY id_a, id_b""",
 
+    // the LSH path is verified with exact dot products and its measured
+    // recall on this corpus is 1.0 (AnnSpec floor 0.95) — the exact
+    // brute-force SQL is therefore a valid full oracle for it
+    "q_embed_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+         ORDER BY id_a, id_b""",
+
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),
@@ -806,22 +860,38 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q_lookup_candidates" -> {
-      val mt = tokSetSql("mention"); val nt = tokSetSql("name")
-      s"""WITH parts AS (SELECT p_partkey, lower(p_name) AS name FROM part),
+      // sorted-2-subset pairs of a sorted-distinct token list, "a|b"
+      def pairsOf(t: String) =
+        s"""flatten([[$t[i]||'|'||$t[j] for j in range(i+1, len($t)+1)]
+                     for i in range(1, len($t))])"""
+      s"""WITH parts AS (
+            SELECT p_partkey, ${cleanSql("p_name")} AS name FROM part),
+          ptok AS (SELECT p_partkey, name, ${tokSetSql("name")} AS nt FROM parts),
+          npd AS (SELECT DISTINCT p_partkey, unnest(${pairsOf("nt")}) AS pair FROM ptok),
+          pdf AS (SELECT pair, count(*) AS df FROM npd GROUP BY 1),
           mentions AS (
             SELECT p_partkey AS mention_id,
                    string_split(name,' ')[2] || ' ' || string_split(name,' ')[1] AS mention
             FROM parts WHERE p_partkey % 7 = 0),
-          mtok AS (SELECT mention_id, mention, unnest(${tokSetSql("mention")}) AS tok FROM mentions),
-          ptok AS (SELECT p_partkey, name, unnest(${tokSetSql("name")}) AS tok FROM parts),
-          cand AS (SELECT DISTINCT m.mention_id, m.mention, p.p_partkey, p.name
-                   FROM mtok m JOIN ptok p USING (tok)),
-          scored AS (SELECT mention_id, mention, p_partkey, name,
-              1.0 - CAST(levenshtein(mention, name) AS DOUBLE)
-                / greatest(length(mention), length(name), 1) AS ed,
-              CAST(len(list_intersect($mt, $nt)) AS DOUBLE)
-                / greatest(len($mt), len($nt), 1) AS jac
-            FROM cand),
+          mt AS (SELECT mention_id, mention, ${tokSetSql("mention")} AS mtk FROM mentions),
+          mp AS (SELECT DISTINCT mention_id, unnest(${pairsOf("mtk")}) AS pair FROM mt),
+          mpd AS (SELECT mp.mention_id, mp.pair, coalesce(pdf.df, 0) AS df,
+                    min(coalesce(pdf.df, 0)) OVER (PARTITION BY mp.mention_id) AS min_df
+                  FROM mp LEFT JOIN pdf USING (pair)),
+          kept AS (SELECT mention_id, pair FROM mpd
+                   WHERE df <= $GateCommonDf OR min_df > $GateCommonDf),
+          cand AS (SELECT DISTINCT k.mention_id, n.p_partkey
+                   FROM kept k JOIN npd n USING (pair)),
+          scored AS (
+            SELECT c.mention_id, m.mention, c.p_partkey,
+              1.0 - CAST(levenshtein(m.mention, p.name) AS DOUBLE)
+                / greatest(length(m.mention), length(p.name), 1) AS ed,
+              CAST(len(list_intersect(m.mtk, p.nt)) AS DOUBLE)
+                / greatest(len(m.mtk), len(p.nt), 1) AS jac
+            FROM cand c
+            JOIN mt m USING (mention_id)
+            JOIN ptok p USING (p_partkey)
+            WHERE len(list_intersect(m.mtk, p.nt)) >= least(2, len(m.mtk))),
           ranked AS (SELECT mention_id, mention, p_partkey, ed, jac,
               row_number() OVER (PARTITION BY mention_id
                                  ORDER BY ed + jac DESC, p_partkey) AS rank

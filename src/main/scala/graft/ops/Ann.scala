@@ -1,7 +1,6 @@
 package graft.ops
 
-import graft.core.Similarity
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,11 +8,39 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k (exact; broadcast the query set so
   * the corpus scan is a single map stage — no shuffle of the 100 TB side).
-  * Scale path: random-hyperplane LSH bucketing — each vector lands in one
-  * bucket per table; queries probe their bucket only, turning the cross
-  * product into a bucket-equi-join.
+  * Scale path: random-hyperplane LSH (Charikar, STOC'02 — public) with
+  * MULTIPLE independent tables — each vector lands in one bucket per
+  * table; a pair/probe collides if it shares a bucket in ANY table, so
+  * recall = 1 − (1 − p_bucket)^nTables while per-table bucket load stays
+  * n / 2^nBits. Size nBits to the corpus (≈ log2(n) − 10) and nTables to
+  * the recall target.
+  *
+  * All vectors are L2-normalized ONCE per side (`unitVector`), so every
+  * pairwise cosine is a single dot-product fold instead of dot + two norm
+  * traversals per pair.
   */
 object Ann {
+
+  /** Ensure at least cluster default parallelism for CPU-bound per-row
+    * stages (signatures, projections): a small/compacted input can arrive
+    * as a single file split, which would serialize the whole map stage on
+    * one core. No-op when the input already has enough partitions (the
+    * 100 TB case — never force a corpus-wide shuffle). */
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Sum of elementwise products of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** v / ‖v‖₂; the zero vector stays zero (cosine 0 vs everything,
+    * matching Similarity.cosine's zero-norm guard). */
+  def unitVector(v: Column): Column = {
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * queries is small (broadcast); corpus is arbitrarily large — the join
@@ -23,49 +50,101 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_v"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_v"))
+    val c = ensureParallelism(corpus).select(col(idCol).as("n_id"),
+      unitVector(col(vecCol).cast("array<double>")).as("n_u"))
+    val q = queries.select(col(idCol).as("q_id"),
+      unitVector(col(vecCol).cast("array<double>")).as("q_u"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
-      .withColumn("cos", round(Similarity.cosine(col("q_v"), col("n_v")), 6))
+      .withColumn("cos", round(dot(col("q_u"), col("n_u")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Random-hyperplane signature: nBits sign-bits of dot(v, h_i) where the
-    * hyperplanes are pseudo-random but seeded deterministically from
-    * (bit index, dimension index) via a hash → no RNG, reproducible across
+  /** One random-hyperplane sign bit of a (unit) vector. Hyperplane
+    * components are pseudo-random but seeded deterministically from
+    * (table, bit, dimension) via a hash → no RNG, reproducible across
     * runs and cluster sizes. */
-  private def hyperplaneBit(v: org.apache.spark.sql.Column, bit: Int) = {
-    // h[d] = hash(bit, d) mapped to [-1, 1); dot via aggregate over zip index
-    val dot = aggregate(
+  private def hyperplaneBit(v: Column, table: Int, bit: Int): Column = {
+    // h[d] = hash(table, bit, d) mapped to [-1, 1); dot via zip on index
+    val proj = aggregate(
       zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x * (pmod(xxhash64(lit(bit), d), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+        (x, d) => x * (pmod(xxhash64(lit(table * 131 + bit), d), lit(2000001L))
+          .cast("double") / 1000000.0 - 1.0)),
       lit(0.0), (acc, x) => acc + x)
-    when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
+    when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
   }
 
-  /** Assign each vector an nBits LSH bucket id. */
-  def lshBucket(df: DataFrame, vecCol: String, nBits: Int = 12): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val sig = (0 until nBits).map(b => hyperplaneBit(v, b)).reduce(_.bitwiseOR(_))
-    df.withColumn("lsh_bucket", sig)
+  /** nBits-bit LSH bucket id of each vector for one hyperplane table. */
+  def lshBucketFor(v: Column, table: Int, nBits: Int): Column =
+    (0 until nBits).map(b => hyperplaneBit(v, table, b)).reduce(_.bitwiseOR(_))
+
+  /** Single-table bucket assignment (kept for composition/tests). */
+  def lshBucket(df: DataFrame, vecCol: String, nBits: Int = 12): DataFrame =
+    df.withColumn("lsh_bucket",
+      lshBucketFor(col(vecCol).cast("array<double>"), 0, nBits))
+
+  /** All-pairs cosine ≥ minCos via multi-table random-hyperplane buckets —
+    * the scale path for [[Dedup.embeddingPairs]]: candidates = pairs
+    * sharing a bucket in ≥1 of nTables tables; every candidate is verified
+    * with the exact dot product, so precision is 1 by construction and
+    * recall is governed by (nBits, nTables) — measured against the exact
+    * operator in DedupSpec and the q_embed_lsh gate.
+    *
+    * Defaults target true near-dup thresholds (minCos ≥ 0.9). For lower
+    * thresholds raise nTables / lower nBits (collision probability per
+    * bit is 1 − θ/π). maxBucket drops degenerate buckets (skew guard). */
+  def lshCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+                     minCos: Double = 0.95, nBits: Int = 16, nTables: Int = 16,
+                     maxBucket: Int = 100000): DataFrame = {
+    val e = ensureParallelism(embs)
+      .select(col(idCol).as("id"),
+        unitVector(col(vecCol).cast("array<double>")).as("u"))
+      .localCheckpoint(eager = false) // normalize once; reused by verify joins
+    // one (table, bucket) key per table per vector; table id mixed into the
+    // join key so one shuffle covers all tables
+    val keys = array((0 until nTables).map(t =>
+      xxhash64(lit(t), lshBucketFor(col("u"), t, nBits))): _*)
+    val keyed = e.select(col("id"), explode(keys).as("bucket"))
+      .localCheckpoint(eager = false) // nTables×nBits projections computed once
+    val bucketDf = keyed.groupBy("bucket").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBucket).select("bucket")
+    val small = keyed.join(bucketDf, Seq("bucket"), "left_semi")
+    val cands = small.as("x").join(small.as("y"), "bucket")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("id").as("id_a"), col("u").as("u_a")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("u").as("u_b")), "id_b")
+      .withColumn("cos", dot(col("u_a"), col("u_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Bucketed ANN top-k: exact ranking inside the shared LSH bucket.
-    * Trades recall for a shuffle keyed on bucket instead of a cross join;
-    * at 100 TB the bucket join is the only viable physical plan. */
+  /** Bucketed ANN top-k: exact ranking inside the union of shared LSH
+    * buckets across nTables tables. Trades recall for a shuffle keyed on
+    * bucket instead of a cross join; at 100 TB the bucket join is the only
+    * viable physical plan. Recall vs bruteForceTopK is measured in
+    * AnnSpec; raise nTables for recall, nBits for bucket granularity. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nBits: Int = 8): DataFrame = {
-    val c = lshBucket(corpus, vecCol, nBits)
-      .select(col("lsh_bucket"), col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_v"))
-    val q = lshBucket(queries, vecCol, nBits)
-      .select(col("lsh_bucket"), col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_v"))
-    val joined = c.join(q, Seq("lsh_bucket")).filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(Similarity.cosine(col("q_v"), col("n_v")), 6))
+              nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    def keyed(df: DataFrame, side: String) = {
+      val e = ensureParallelism(df).select(col(idCol).as(s"${side}_id"),
+        unitVector(col(vecCol).cast("array<double>")).as(s"${side}_u"))
+      val keys = array((0 until nTables).map(t =>
+        xxhash64(lit(t), lshBucketFor(col(s"${side}_u"), t, nBits))): _*)
+      e.select(col(s"${side}_id"), col(s"${side}_u"), explode(keys).as("bucket"))
+    }
+    val c = keyed(corpus, "n")
+    val q = keyed(queries, "q")
+    val joined = c.join(q, Seq("bucket")).filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "q_u", "n_id", "n_u")
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", round(dot(col("q_u"), col("n_u")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

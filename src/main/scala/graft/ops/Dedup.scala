@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.core.Similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -8,9 +7,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: exact dedup is one hash-shuffle on a 32-byte key; near-dup
   * avoids the O(n²) cross join by inverted-index / LSH-bucket joins whose
-  * shuffle keys are (shingle|band-signature) — at 100 TB both stay linear in
-  * corpus size + pair-candidate count, and skewed keys (stop-shingles,
-  * giant buckets) are capped explicitly before the join.
+  * shuffle keys are (shingle|band-signature|simhash-block) — at 100 TB both
+  * stay linear in corpus size + pair-candidate count, and skewed keys
+  * (stop-shingles, giant buckets) are capped explicitly BEFORE the join.
+  * All signatures are single-pass array folds (one traversal of the
+  * shingle/token array per row, one string hash per element).
   */
 object Dedup {
 
@@ -24,6 +25,42 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Keep only posting rows whose key's document frequency is ≤ cap —
+    * the stop-key skew guard shared by every inverted-index join here.
+    * groupBy + left-semi join (two hash shuffles on the key, no sort) —
+    * cheaper than a count-over-window, which forces a full sort of the
+    * posting table within each key partition. */
+  private def dropFrequentKeys(posts: DataFrame, keyCol: String,
+                               cap: Int): DataFrame = {
+    val df = posts.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(keyCol)
+    posts.join(df, Seq(keyCol), "left_semi")
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing ≥1 posting key, with the number
+    * of shared keys (the groupBy replaces a distinct — same shuffle — and
+    * the count is a free overlap lower bound for pruning). The caller must
+    * checkpoint `posts` so the self-join's two sides share one
+    * materialization instead of recomputing the signature lineage twice. */
+  private def selfJoinPairs(posts: DataFrame, keyCol: String): DataFrame =
+    posts.as("x").join(posts.as("y"), keyCol)
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_kept"))
+
+  /** Exact word-shingle Jaccard verification of candidate pairs. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            minJaccard: Double): DataFrame =
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
   /** Near-duplicate pairs by word-shingle Jaccard ≥ minJaccard, via an
     * inverted-index join on shingles (no cross join).
     *
@@ -35,119 +72,155 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.8,
                    maxPostings: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), TextStats.shingles(col(textCol), n).as("sh"))
+    val sh = Ann.ensureParallelism(docs)
+      .select(col(idCol).as("id"), TextStats.shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(eager = false)
     val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = posts
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("cnt") <= maxPostings)
-      .drop("cnt")
-    // candidate pairs: docs sharing ≥1 rare shingle, ordered id_a < id_b
-    val cands = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // verify with exact set Jaccard (union denominator — standard near-dup)
-    val verified = cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    verified
+    val rare = dropFrequentKeys(posts, "shingle", maxPostings)
+      .localCheckpoint(eager = false)
+    // prune BEFORE touching shingle arrays: an upper bound on the true
+    // Jaccard from (shared kept keys, per-doc sizes, per-doc dropped
+    // postings) — true_shared ≤ shared_kept + min(drop_a, drop_b), and
+    // j = s/(|A|+|B|−s) is monotone in s. Only survivors pay the
+    // array_intersect/array_union shuffle of full shingle sets.
+    val szKept = rare.groupBy("id").agg(count(lit(1)).as("kept"))
+    val stats = sh.select(col("id"), size(col("sh")).as("sz"))
+      .join(szKept, Seq("id"), "left")
+      .select(col("id"), col("sz"),
+        (col("sz") - coalesce(col("kept"), lit(0L))).as("dropped"))
+    val pruned = selfJoinPairs(rare, "shingle")
+      .join(stats.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("dropped").as("drop_a")), "id_a")
+      .join(stats.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("dropped").as("drop_b")), "id_b")
+      .withColumn("ub_shared",
+        col("shared_kept") + least(col("drop_a"), col("drop_b")))
+      .filter(col("ub_shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ub_shared")).cast("double") >= minJaccard)
+      .select("id_a", "id_b")
+    verifyJaccard(pruned, sh, minJaccard)
   }
 
-  /** MinHash signature: numPerms independent 64-bit hash mins over the
-    * shingle set (xxhash64 with distinct seeds — codegen'd builtin). */
+  /** MinHash signature: numPerms permutation-mins over the shingle set, in
+    * ONE fold over the array with ONE string hash per shingle — per-perm
+    * values derive from the 64-bit shingle hash re-mixed with the perm
+    * index (xxhash64(i, h)), not from numPerms re-hashes of the string. */
   def minhashSignature(shingleSet: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { seed =>
-      array_min(transform(shingleSet, s => xxhash64(lit(seed), s)))
-    }: _*)
+    aggregate(
+      shingleSet,
+      array_repeat(lit(Long.MaxValue), lit(numPerms)),
+      (acc, s) => {
+        val h = xxhash64(s)
+        zip_with(acc, sequence(lit(0), lit(numPerms - 1)),
+          (m, i) => least(m, xxhash64(i, h)))
+      })
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification. Output = verified pairs (precision 1 by
     * construction; recall governed by bands×rows, tested vs the exact
-    * operator). bandBuckets over-maxPostings are dropped (skew guard). */
+    * operator in DedupSpec). Buckets over maxBucket docs are dropped
+    * (skew guard). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numPerms: Int = 32, bands: Int = 16,
                       minJaccard: Double = 0.8,
                       maxBucket: Int = 2000): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val sh = docs.select(col(idCol).as("id"), TextStats.shingles(col(textCol), n).as("sh"))
+    val sh = Ann.ensureParallelism(docs)
+      .select(col(idCol).as("id"), TextStats.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numPerms))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
       .withColumn("bucket", xxhash64(col("band"), col("bandsig").cast("string")))
-    val smallBuckets = banded
-      .withColumn("bcnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bcnt") <= maxBucket)
-    val cands = smallBuckets.as("x").join(smallBuckets.as("y"), "bucket")
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id"), col("bucket"))
+    val small = dropFrequentKeys(banded, "bucket", maxBucket)
+      .localCheckpoint(eager = false) // signatures computed once, not per join side
+    verifyJaccard(selfJoinPairs(small, "bucket").select("id_a", "id_b"), sh, minJaccard)
   }
 
-  /** 64-bit SimHash over token features: per bit, sum ±1 weighted by token
-    * hash bit; sign → bit. Pure expressions (no UDF): for each of 64 bits,
-    * count tokens whose xxhash64 has that bit set vs total. */
+  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
+  /** 64-bit SimHash over token features: bit b of the signature is set iff
+    * a strict majority of token hashes have bit b set. ONE fold over the
+    * token array (one xxhash64 per token, 64 masked adds per element) —
+    * not 64 per-bit aggregates. */
   def simhash64(tokenSet: Column): Column = {
-    val hashes = transform(tokenSet, t => xxhash64(t))
-    val totalTokens = size(tokenSet)
-    // bit b set iff #tokens-with-bit-b > n/2 (strict majority)
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
-      when(cnt * 2 > totalTokens, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val masks = typedLit(BitMasks)
+    val counts = aggregate(
+      tokenSet,
+      array_repeat(lit(0), lit(64)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks,
+          (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1).otherwise(0))
+      })
+    val n = size(tokenSet)
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c * 2 > n, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked by
-    * 4×16-bit segments (any pair within distance 3 shares ≥1 exact
-    * segment — pigeonhole), so the join key is a 16-bit block not O(n²). */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked
+    * Manku-style (permuted-block tables, WWW'07 "Detecting Near-Duplicates
+    * for Web Crawling" — public): the 64-bit signature splits into nBlocks
+    * equal blocks; a pair within Hamming distance d agrees on ≥ nBlocks−d
+    * blocks (pigeonhole), so each doc is keyed once per (nBlocks−d)-subset
+    * of block indices and pairs join on the concatenated block values.
+    *
+    * Sizing to corpus: the effective key width is (nBlocks−d)·(64/nBlocks)
+    * bits — nBlocks=4, d=3 gives 16-bit keys (fine to ~10⁷ docs);
+    * nBlocks=6, d=3 gives C(6,3)=20 tables of 30-bit keys (10⁹+ docs);
+    * nBlocks=8, d=3 gives C(8,5)=56 tables of 40-bit keys. Residual giant
+    * buckets (constant-ish signatures) are dropped via maxBucket.
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-segment blocking supports maxHamming<=3")
-    val sigs = docs.select(col(idCol).as("id"),
+                   maxHamming: Int = 3, nBlocks: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
+    require(nBlocks > maxHamming, "need nBlocks > maxHamming (pigeonhole)")
+    require(64 % nBlocks == 0, "nBlocks must divide 64")
+    val w = 64 / nBlocks
+    val blockMask = if (w == 64) -1L else (1L << w) - 1
+    def block(i: Int): Column =
+      shiftright(col("sig"), i * w).bitwiseAND(lit(blockMask))
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming)
+      .toSeq.zipWithIndex
+    val keys = array(combos.map { case (idxs, cid) =>
+      xxhash64((lit(cid) +: idxs.map(block)): _*)
+    }: _*)
+
+    val sigs = Ann.ensureParallelism(docs).select(col(idCol).as("id"),
       simhash64(graft.core.Text.tokenSet(col(textCol))).as("sig"))
-    val seg = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))
-        .as(Seq("seg_idx", "seg")))
-    val cands = seg.as("x").join(seg.as("y"),
-      col("x.seg_idx") === col("y.seg_idx") && col("x.seg") === col("y.seg") &&
-        col("x.id") < col("y.id"))
+    val keyed = sigs.select(col("id"), col("sig"), explode(keys).as("bucket"))
+    val small = dropFrequentKeys(keyed, "bucket", maxBucket)
+      .localCheckpoint(eager = false) // signatures computed once, not per join side
+    // Hamming filter INSIDE the join: bad pairs die during the bucket
+    // probe instead of being shuffled into a distinct — the dedup shuffle
+    // carries only true near-dup pairs (× #combos duplicates).
+    small.as("x").join(small.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
-    cands
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup pairs: cosine ≥ minCos. Brute-force block-nested
-    * join at test scale; the scale path is Ann.lshCosinePairs (random
-    * hyperplane buckets). */
+  /** Embedding near-dup pairs: cosine ≥ minCos, EXACT (all pairs). The
+    * nested-loop join is O(n²) by definition of the operator — usable as a
+    * small-scale oracle only; the scale path is [[Ann.lshCosinePairs]]
+    * (multi-table random-hyperplane buckets, recall-tested against this).
+    * Vectors are L2-normalized once per side so the per-pair work is a
+    * single dot-product fold. */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      minCos: Double = 0.95): DataFrame = {
-    val e = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val e = Ann.ensureParallelism(embs)
+      .select(col(idCol).as("id"),
+        Ann.unitVector(col(vecCol).cast("array<double>")).as("u"))
+      .localCheckpoint(eager = false) // normalize once, not per join side
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", Ann.dot(col("a.u"), col("b.u")))
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 6).as("cos"))

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Similarity
+import org.apache.spark.sql.functions._
+
+/** Recall oracles for the LSH cosine paths vs their exact counterparts —
+  * the check behind the q_embed_lsh full oracle and the q_ann_lsh
+  * rows-only gate. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic vectors: 50 bases (16-d, hash-derived ±1-ish), plus a
+    * jittered near-dup of each (cos ≈ 0.98) — the true near-dup regime
+    * the default lshCosinePairs params target. */
+  private lazy val embs = {
+    def comp(seed: Long): Double = {
+      val h = java.lang.Long.rotateLeft(seed * 0x9E3779B97F4A7C15L, 23)
+      (math.abs(h % 2001) / 1000.0) - 1.0
+    }
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(d => comp(i * 37 + d)).toArray)
+    }
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => x + 0.02 * comp(i * 91 + d) })
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("unit-vector dot equals Similarity.cosine") {
+    val pair = embs.limit(2).collect()
+    val df = Seq((pair(0).getSeq[Double](1), pair(1).getSeq[Double](1)))
+      .toDF("a", "b")
+    val viaCos = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val viaUnit = df.select(
+      Ann.dot(Ann.unitVector(col("a")), Ann.unitVector(col("b")))).head().getDouble(0)
+    assert(math.abs(viaCos - viaUnit) < 1e-9)
+  }
+
+  test("lshCosinePairs: precision 1 and recall >= 0.95 vs exact at cos 0.9") {
+    val exact = Dedup.embeddingPairs(embs, "vec_id", "embedding", minCos = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 40, s"planted near-dups must exist (got ${exact.size})")
+    val lsh = Ann.lshCosinePairs(embs, "vec_id", "embedding",
+      minCos = 0.9, nBits = 4, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact verification ⇒ precision 1")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"cosine-LSH recall $recall < 0.95 (${lsh.size}/${exact.size})")
+  }
+
+  test("lshTopK: top-1 recall >= 0.9 vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(embs, queries, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(embs, queries, k = 1, nBits = 3, nTables = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"lshTopK top-1 recall $recall < 0.9")
+  }
+}
