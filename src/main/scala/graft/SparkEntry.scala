@@ -480,50 +480,98 @@ object SparkEntry {
     //      ~90-word vocabulary); pair posting lists stay short no matter
     //      how common the individual tokens get. ----
     "q_lookup_candidates" -> ((s, dir) => {
-      val parts = t(s, dir, "part")
-        .select(col("p_partkey"), Text.cleanStr(col("p_name")).as("name"))
-        .withColumn("name_tokens", Text.tokenSet(col("name")))
-      // mentions: every 7th part, words swapped ("small ring" → "ring small")
-      val words = split(col("name"), " ")
-      val mentions = parts.filter(col("p_partkey") % 7 === 0)
-        .select(col("p_partkey").as("mention_id"),
-          concat_ws(" ", element_at(words, 2), element_at(words, 1)).as("mention"))
-        .withColumn("mention_tokens", Text.tokenSet(col("mention")))
-      // production pair-posting index (NameIndex.postingsPair shape)
-      val pairTable = graft.kg.NameIndex.postingsPair(
-        parts.select(col("p_partkey").as("name_row_id"), col("name_tokens")))
-      val pairDf = pairTable.groupBy("pair").agg(count(lit(1)).as("df"))
-      // production blocking rule (Linker.blockedMentionTokens) over PAIRS:
-      // a common pair generates no candidates unless every pair is common
-      val mentionPairs = mentions.select(col("mention").as("mention_norm"),
-        graft.kg.NameIndex.tokenPairs(col("mention_tokens")).as("mention_tokens"))
-      val kept = graft.kg.Linker.blockedMentionTokens(mentionPairs,
-        pairDf.withColumnRenamed("pair", "token"), GateCommonDf)
-      val cands = kept.withColumnRenamed("token", "pair")
-        .join(pairTable, Seq("pair"))
-        .select(col("mention_norm").as("mention"), col("name_row_id").as("p_partkey"))
-        .distinct()
-      // min-should-match (min(2, ntokens)) + features post-generation
-      val scored = cands
-        .join(mentions.select(col("mention_id"), col("mention"), col("mention_tokens")),
-          Seq("mention"))
-        .join(parts.select(col("p_partkey"), col("name"), col("name_tokens")),
-          Seq("p_partkey"))
-        .filter(size(array_intersect(col("mention_tokens"), col("name_tokens"))) >=
-          least(lit(2), size(col("mention_tokens"))))
-        .withColumn("ed", Similarity.editDistanceScore(col("mention"), col("name")))
-        .withColumn("jac",
-          Similarity.setOverlapScore(col("mention_tokens"), col("name_tokens")))
-      val w = Window.partitionBy(col("mention_id"))
-        .orderBy((col("ed") + col("jac")).desc, col("p_partkey"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      gateLookupRanked(s, dir)
         .select(col("mention_id"), col("mention"), col("p_partkey").as("cand_id"),
           round(col("ed"), 6).as("ed_score"), round(col("jac"), 6).as("jaccard_score"),
           col("rank"))
         .orderBy(col("mention_id"), col("rank"))
+    }),
+
+    // ---- forced-candidate ids path (J4/_check_ids semantics): requested
+    //      ids missing from a mention's match set are fetched and scored
+    //      with the same features, appended after the matched candidates ----
+    "q_lookup_ids" -> ((s, dir) => {
+      val parts = gateParts(s, dir)
+      val ranked = gateLookupRanked(s, dir)
+      val main = ranked.select(col("mention_id"), col("mention"),
+        col("p_partkey").as("cand_id"), col("ed"), col("jac"), col("rank"),
+        lit(false).as("forced"))
+      val forcedIds = parts.filter(col("p_partkey") % GateForcedMod === 0)
+        .select(col("p_partkey").as("cand_id"))
+      val mentions = gateMentions(parts)
+      val maxRank = main.groupBy(col("mention_id"))
+        .agg(max(col("rank")).as("max_rank"))
+      val wF = Window.partitionBy(col("mention_id")).orderBy(col("cand_id"))
+      val fetched = mentions.crossJoin(forcedIds)
+        .join(main.select("mention_id", "cand_id"), Seq("mention_id", "cand_id"),
+          "left_anti")
+        .join(parts.select(col("p_partkey").as("cand_id"), col("name"),
+          col("name_tokens")), Seq("cand_id"))
+        .join(maxRank, Seq("mention_id"), "left")
+        .select(col("mention_id"), col("mention"), col("cand_id"),
+          Similarity.editDistanceScore(col("mention"), col("name")).as("ed"),
+          Similarity.setOverlapScore(col("mention_tokens"), col("name_tokens"))
+            .as("jac"),
+          (coalesce(col("max_rank"), lit(0L)) + row_number().over(wF)).as("rank"),
+          lit(true).as("forced"))
+      main.unionByName(fetched)
+        .select(col("mention_id"), col("mention"), col("cand_id"),
+          round(col("ed"), 6).as("ed_score"), round(col("jac"), 6).as("jaccard_score"),
+          col("rank"), col("forced"))
+        .orderBy(col("mention_id"), col("rank"))
     })
   )
+
+  // ---- shared flagship-gate construction (Spark side) ----
+  private def gateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), Text.cleanStr(col("p_name")).as("name"))
+      .withColumn("name_tokens", Text.tokenSet(col("name")))
+
+  /** mentions: every 7th part, words swapped ("small ring" → "ring small"). */
+  private def gateMentions(parts: DataFrame): DataFrame = {
+    val words = split(col("name"), " ")
+    parts.filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("mention_id"),
+        concat_ws(" ", element_at(words, 2), element_at(words, 1)).as("mention"))
+      .withColumn("mention_tokens", Text.tokenSet(col("mention")))
+  }
+
+  /** PRODUCTION candidate generation: pair-posting index
+    * (NameIndex.postingsPair) + common-pair blocking
+    * (Linker.blockedMentionTokens) + min-should-match + ed/jaccard
+    * features + per-mention top-3 window. */
+  private def gateLookupRanked(s: SparkSession, dir: String): DataFrame = {
+    val parts = gateParts(s, dir)
+    val mentions = gateMentions(parts)
+    val pairTable = graft.kg.NameIndex.postingsPair(
+      parts.select(col("p_partkey").as("name_row_id"), col("name_tokens")))
+    val pairDf = pairTable.groupBy("pair").agg(count(lit(1)).as("df"))
+    // production blocking rule over PAIRS: a common pair generates no
+    // candidates unless every pair of the mention is common
+    val mentionPairs = mentions.select(col("mention").as("mention_norm"),
+      graft.kg.NameIndex.tokenPairs(col("mention_tokens")).as("mention_tokens"))
+    val kept = graft.kg.Linker.blockedMentionTokens(mentionPairs,
+      pairDf.withColumnRenamed("pair", "token"), GateCommonDf)
+    val cands = kept.withColumnRenamed("token", "pair")
+      .join(pairTable, Seq("pair"))
+      .select(col("mention_norm").as("mention"), col("name_row_id").as("p_partkey"))
+      .distinct()
+    val scored = cands
+      .join(mentions.select(col("mention_id"), col("mention"), col("mention_tokens")),
+        Seq("mention"))
+      .join(parts.select(col("p_partkey"), col("name"), col("name_tokens")),
+        Seq("p_partkey"))
+      .filter(size(array_intersect(col("mention_tokens"), col("name_tokens"))) >=
+        least(lit(2), size(col("mention_tokens"))))
+      .withColumn("ed", Similarity.editDistanceScore(col("mention"), col("name")))
+      .withColumn("jac",
+        Similarity.setOverlapScore(col("mention_tokens"), col("name_tokens")))
+    val w = Window.partitionBy(col("mention_id"))
+      .orderBy((col("ed") + col("jac")).desc, col("p_partkey"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
 
   /** Flagship-gate blocking threshold (pair-df cut), shared verbatim by the
     * Spark path and the generated DuckDB oracle. Part names are 2 tokens
@@ -532,6 +580,51 @@ object SparkEntry {
     * production code path; its dropping behavior is unit-tested in
     * LinkerSpec where mentions have rare+common token mixes. */
   private val GateCommonDf = 8L
+
+  /** q_lookup_ids forced-candidate selector (p_partkey multiples), shared
+    * by the Spark path and the oracle. */
+  private val GateForcedMod = 500L
+
+  /** Shared oracle CTE chain for the flagship lookup gates: parts →
+    * pair postings → pair-df blocking → candidates → min-should-match →
+    * scored → ranked (top-3 per mention). */
+  private def gateLookupCte: String = {
+    def pairsOf(t: String) =
+      s"""flatten([[$t[i]||'|'||$t[j] for j in range(i+1, len($t)+1)]
+                   for i in range(1, len($t))])"""
+    s"""parts AS (
+          SELECT p_partkey, ${cleanSql("p_name")} AS name FROM part),
+        ptok AS (SELECT p_partkey, name, ${tokSetSql("name")} AS nt FROM parts),
+        npd AS (SELECT DISTINCT p_partkey, unnest(${pairsOf("nt")}) AS pair FROM ptok),
+        pdf AS (SELECT pair, count(*) AS df FROM npd GROUP BY 1),
+        mentions AS (
+          SELECT p_partkey AS mention_id,
+                 string_split(name,' ')[2] || ' ' || string_split(name,' ')[1] AS mention
+          FROM parts WHERE p_partkey % 7 = 0),
+        mt AS (SELECT mention_id, mention, ${tokSetSql("mention")} AS mtk FROM mentions),
+        mp AS (SELECT DISTINCT mention_id, unnest(${pairsOf("mtk")}) AS pair FROM mt),
+        mpd AS (SELECT mp.mention_id, mp.pair, coalesce(pdf.df, 0) AS df,
+                  min(coalesce(pdf.df, 0)) OVER (PARTITION BY mp.mention_id) AS min_df
+                FROM mp LEFT JOIN pdf USING (pair)),
+        kept AS (SELECT mention_id, pair FROM mpd
+                 WHERE df <= $GateCommonDf OR min_df > $GateCommonDf),
+        cand AS (SELECT DISTINCT k.mention_id, n.p_partkey
+                 FROM kept k JOIN npd n USING (pair)),
+        scored AS (
+          SELECT c.mention_id, m.mention, c.p_partkey,
+            1.0 - CAST(levenshtein(m.mention, p.name) AS DOUBLE)
+              / greatest(length(m.mention), length(p.name), 1) AS ed,
+            CAST(len(list_intersect(m.mtk, p.nt)) AS DOUBLE)
+              / greatest(len(m.mtk), len(p.nt), 1) AS jac
+          FROM cand c
+          JOIN mt m USING (mention_id)
+          JOIN ptok p USING (p_partkey)
+          WHERE len(list_intersect(m.mtk, p.nt)) >= least(2, len(m.mtk))),
+        ranked AS (SELECT mention_id, mention, p_partkey, ed, jac,
+            row_number() OVER (PARTITION BY mention_id
+                               ORDER BY ed + jac DESC, p_partkey) AS rank
+          FROM scored)"""
+  }
 
   // =====================================================================
   // oracleSql — DuckDB equivalents. Keys absent here ⇒ rows-only check
@@ -859,46 +952,41 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 8 AS dim
          FROM documents ORDER BY doc_id""",
 
-    "q_lookup_candidates" -> {
-      // sorted-2-subset pairs of a sorted-distinct token list, "a|b"
-      def pairsOf(t: String) =
-        s"""flatten([[$t[i]||'|'||$t[j] for j in range(i+1, len($t)+1)]
-                     for i in range(1, len($t))])"""
-      s"""WITH parts AS (
-            SELECT p_partkey, ${cleanSql("p_name")} AS name FROM part),
-          ptok AS (SELECT p_partkey, name, ${tokSetSql("name")} AS nt FROM parts),
-          npd AS (SELECT DISTINCT p_partkey, unnest(${pairsOf("nt")}) AS pair FROM ptok),
-          pdf AS (SELECT pair, count(*) AS df FROM npd GROUP BY 1),
-          mentions AS (
-            SELECT p_partkey AS mention_id,
-                   string_split(name,' ')[2] || ' ' || string_split(name,' ')[1] AS mention
-            FROM parts WHERE p_partkey % 7 = 0),
-          mt AS (SELECT mention_id, mention, ${tokSetSql("mention")} AS mtk FROM mentions),
-          mp AS (SELECT DISTINCT mention_id, unnest(${pairsOf("mtk")}) AS pair FROM mt),
-          mpd AS (SELECT mp.mention_id, mp.pair, coalesce(pdf.df, 0) AS df,
-                    min(coalesce(pdf.df, 0)) OVER (PARTITION BY mp.mention_id) AS min_df
-                  FROM mp LEFT JOIN pdf USING (pair)),
-          kept AS (SELECT mention_id, pair FROM mpd
-                   WHERE df <= $GateCommonDf OR min_df > $GateCommonDf),
-          cand AS (SELECT DISTINCT k.mention_id, n.p_partkey
-                   FROM kept k JOIN npd n USING (pair)),
-          scored AS (
-            SELECT c.mention_id, m.mention, c.p_partkey,
+    "q_lookup_candidates" ->
+      s"""WITH $gateLookupCte
+          SELECT mention_id, mention, p_partkey AS cand_id,
+                 round(ed, 6) AS ed_score, round(jac, 6) AS jaccard_score, rank
+          FROM ranked WHERE rank <= 3 ORDER BY mention_id, rank""",
+
+    "q_lookup_ids" ->
+      s"""WITH $gateLookupCte,
+          main AS (SELECT mention_id, mention, p_partkey AS cand_id,
+                          ed, jac, rank, false AS forced
+                   FROM ranked WHERE rank <= 3),
+          forced_ids AS (SELECT p_partkey AS cand_id FROM parts
+                         WHERE p_partkey % $GateForcedMod = 0),
+          mr AS (SELECT mention_id, max(rank) AS max_rank FROM main GROUP BY 1),
+          fetched AS (
+            SELECT m.mention_id, m.mention, f.cand_id,
               1.0 - CAST(levenshtein(m.mention, p.name) AS DOUBLE)
                 / greatest(length(m.mention), length(p.name), 1) AS ed,
               CAST(len(list_intersect(m.mtk, p.nt)) AS DOUBLE)
-                / greatest(len(m.mtk), len(p.nt), 1) AS jac
-            FROM cand c
-            JOIN mt m USING (mention_id)
-            JOIN ptok p USING (p_partkey)
-            WHERE len(list_intersect(m.mtk, p.nt)) >= least(2, len(m.mtk))),
-          ranked AS (SELECT mention_id, mention, p_partkey, ed, jac,
-              row_number() OVER (PARTITION BY mention_id
-                                 ORDER BY ed + jac DESC, p_partkey) AS rank
-            FROM scored)
-          SELECT mention_id, mention, p_partkey AS cand_id,
-                 round(ed, 6) AS ed_score, round(jac, 6) AS jaccard_score, rank
-          FROM ranked WHERE rank <= 3 ORDER BY mention_id, rank"""
-    }
+                / greatest(len(m.mtk), len(p.nt), 1) AS jac,
+              coalesce(mr.max_rank, 0)
+                + row_number() OVER (PARTITION BY m.mention_id ORDER BY f.cand_id)
+                AS rank,
+              true AS forced
+            FROM mt m
+            CROSS JOIN forced_ids f
+            JOIN ptok p ON p.p_partkey = f.cand_id
+            LEFT JOIN mr USING (mention_id)
+            WHERE NOT EXISTS (SELECT 1 FROM main x
+                              WHERE x.mention_id = m.mention_id
+                                AND x.cand_id = f.cand_id)),
+          unioned AS (SELECT * FROM main UNION ALL SELECT * FROM fetched)
+          SELECT mention_id, mention, cand_id,
+                 round(ed, 6) AS ed_score, round(jac, 6) AS jaccard_score,
+                 rank, forced
+          FROM unioned ORDER BY mention_id, rank"""
   )
 }

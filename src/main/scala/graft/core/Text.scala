@@ -89,9 +89,13 @@ object Text {
     * sorted distinct — `bow_retriever.py:30-38`. */
   def bowTokens(c: Column): Column = {
     // punctuation → token boundaries first (≈ NLTK word_tokenize splitting
-    // "car!" into ["car","!"], whose non-alnum pieces are then dropped)
+    // "car!" into ["car","!"]); apostrophes stay INSIDE tokens at the
+    // split ("don't" is one NLTK token) but the strict alnum filter then
+    // drops any token carrying one — the reference's isalnum() check
+    // (`bow_retriever.py:30-38`) means possessives/contractions never
+    // reach a reference BoW, so they must not reach ours either.
     val alnum = filter(tokens(regexp_replace(lower(c), "[^a-z0-9']+", " ")),
-      t => t.rlike("^[a-z0-9']+$"))
+      t => t.rlike("^[a-z0-9]+$"))
     array_sort(array_distinct(array_except(alnum, lit(EnglishStopwords.toArray))))
   }
 

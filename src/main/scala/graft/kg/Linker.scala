@@ -32,8 +32,9 @@ case class LinkerConfig(
       * 0 = auto: max(64, 0.5% of name rows). */
     commonTokenDf: Long = 0L,
     /** ES minimum_should_match analog for the pipeline path: a candidate
-      * must match ≥ (mention ntokens − 1) tokens (min 1). OFF for lookup
-      * parity (the reference's ES `match` is pure OR); ON for linking —
+      * must match ≥ min(2, mention ntokens) tokens — both tokens of a
+      * 2-token mention, ≥2 of a longer one. OFF for lookup parity (the
+      * reference's ES `match` is pure OR); ON for linking —
       * one-token-overlap candidates on a 3-token mention can never win
       * the composite and only inflate the scoring stage. A misspelled
       * token still counts through its fuzzy expansion. */
@@ -47,7 +48,20 @@ case class LinkerConfig(
     /** A5/A6 ambiguity features require an extra window pass over the FULL
       * unfiltered match set; linking does not use them, so the pipeline
       * turns them off (columns emitted as nulls). */
-    computeAmbiguity: Boolean = true)
+    computeAmbiguity: Boolean = true,
+    /** Forced-candidate ids (`_check_ids`, `lookup_retriever.py:348-395`):
+      * every id listed here that the match set does not already contain is
+      * fetched from the index (en, non-alias, one row per id — the
+      * reference's per-id `create_ids_query` with limit=1) and scored with
+      * the same similarity features; fetched rows carry pos_score = 1 and
+      * es_score = 1 exactly as a 1-hit ES response does, and are appended
+      * after the matched candidates (rank continues). */
+    ids: Seq[String] = Nil,
+    /** `normalize_score` (`elastic.py:88-97`): when false, popularity is
+      * denormalized (popularity_norm × index max popularity — requires
+      * NameIndexTables.maxPopularity) and es_score is the raw lexical
+      * score, not divided by the per-mention max. */
+    normalizeScore: Boolean = true)
 
 /** Stages 7-9 — candidate generation, scoring, top-k: the distributed
   * re-realization of the reference's lookup
@@ -142,20 +156,44 @@ object Linker {
     }
   }
 
+  /** Delete-neighborhood keys of a token: the token itself plus every
+    * variant with up to `maxDeletes` (1 or 2) characters removed —
+    * SymSpell-style blocking (public algorithm): two strings within
+    * Levenshtein distance d share a key when both sides generate deletes
+    * up to d. Used as the short-token fallback where the 3-gram
+    * lower bound is vacuous. */
+  private def deleteKeys(t: Column, maxDeletes: Int): Column = {
+    def del1(s: Column): Column =
+      when(length(s) === 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+    val d1 = del1(t)
+    val keys =
+      if (maxDeletes <= 1) concat(array(t), d1)
+      else concat(array(t), d1, flatten(transform(d1, s => del1(s))))
+    array_distinct(keys)
+  }
+
   /** Fuzzy token matches — ES's two-phase fuzzy-query model:
     *
     *  phase 1 (TERM DICTIONARY, vocabulary × vocabulary): the DISTINCT
     *  mention tokens are expanded to index tokens within AUTO edit
-    *  distance via the 3-gram vocab table, with a shared-gram lower-bound
-    *  prune before the levenshtein check and the ES `max_expansions`-style
+    *  distance, via two complementary blockings:
+    *   (a) the 3-gram vocab join with the shared-gram lower-bound prune —
+    *       complete whenever max(|a|,|b|) − 2 − 3·d ≥ 1;
+    *   (b) a SymSpell delete-neighborhood join for SHORT pairs
+    *       (max(|a|,|b|) ≤ 2+3·d, i.e. ≤5 chars at 1 edit / ≤8 at 2),
+    *       where a legal fuzzy pair can share zero 3-grams ('abc'→'axc')
+    *       and the gram join would silently drop it;
+    *  then the exact levenshtein check and the ES `max_expansions`-style
     *  cap (50 closest terms per mention token, deterministic order);
     *
     *  phase 2 (POSTINGS): only the accepted (mtok → token) expansions are
     *  joined against the posting lists.
     *
-    * Doing the gram join at vocabulary scale is what keeps fuzzy matching
-    * linear — joining grams against per-name-row postings would multiply
-    * the candidate volume by posting-list length.
+    * Doing both blocking joins at vocabulary scale is what keeps fuzzy
+    * matching linear — joining grams against per-name-row postings would
+    * multiply the candidate volume by posting-list length.
     * @param postings   (token, name_row_id)
     * @param postings3g (gram, token) vocabulary grams
     * @param tokenDf    (token, df); expansion targets with df > commonDf
@@ -177,16 +215,36 @@ object Linker {
       .select("gram", "token")
 
     val d = autoFuzzEdits(length(col("mtok")))
-    val verified = mgrams.join(p3, Seq("gram"))
+    val gramPairs = mgrams.join(p3, Seq("gram"))
       .groupBy(col("mtok"), col("token"))
       .agg(count(lit(1)).as("shared_grams"))
       // |shared 3-grams| ≥ max(|a|,|b|) − 2 − 3·d is necessary for lev ≤ d
       .filter(col("shared_grams") >=
         greatest(length(col("mtok")), length(col("token"))) - lit(2) - lit(3) * d)
+      .select("mtok", "token")
+
+    // (b) delete-neighborhood fallback for short pairs: mtok 3-5 (1 edit,
+    // deletes≤1) joined to vocab tokens ≤5; mtok 6-8 (2 edits, deletes≤2)
+    // to vocab tokens ≤8. Longer pairs are complete under (a).
+    val vocab = postings3g.select("token").distinct()
+    val mShort1 = mvocab.filter(length(col("mtok")) <= 5)
+      .select(col("mtok"), explode(deleteKeys(col("mtok"), 1)).as("k"))
+    val mShort2 = mvocab.filter(length(col("mtok")).between(6, 8))
+      .select(col("mtok"), explode(deleteKeys(col("mtok"), 2)).as("k"))
+    val vShort1 = vocab.filter(length(col("token")) <= 5)
+      .select(col("token"), explode(deleteKeys(col("token"), 1)).as("k"))
+    val vShort2 = vocab.filter(length(col("token")) <= 8)
+      .select(col("token"), explode(deleteKeys(col("token"), 2)).as("k"))
+    val deletePairs =
+      mShort1.join(vShort1, Seq("k")).select("mtok", "token")
+        .union(mShort2.join(vShort2, Seq("k")).select("mtok", "token"))
+        .distinct()
+
+    val verified = gramPairs.union(deletePairs).distinct()
       .withColumn("lev", levenshtein(col("mtok"), col("token")))
       // lev ≥ 1: identical tokens are the EXACT path's job — keeping them
       // here would re-derive every exact match through the gram join
-      .filter(col("lev") <= d && col("lev") >= 1)
+      .filter(col("lev") <= autoFuzzEdits(length(col("mtok"))) && col("lev") >= 1)
 
     // ES max_expansions (default 50): keep the 50 closest index terms per
     // mention token, deterministic (lev asc, token asc)
@@ -224,24 +282,29 @@ object Linker {
   /** Full per-mention lookup: returns the 18-feature candidate table of
     * `lookup_retriever.py:278-302` (+ mention_norm, rank). One row per
     * (mention, entity) after A7 best-variant dedup; ≤ cfg.limit rows per
-    * mention, ordered by popularity desc.
-    *
-    * @param typeNames optional (entity → en label) of kind='type' items for
-    *                  the types enrichment join (J5); pass names of items. */
+    * mention, ordered by popularity desc. `types` is the reference's
+    * [{id, name}] struct array (J5 enrichment via index.typeNames; a type
+    * id with no kind='type' label falls back to the id itself, exactly as
+    * `types_id_to_name.get(id, id)` does). cfg.ids appends forced
+    * candidates (`_check_ids`) after the matched ones. */
   def lookup(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
              cfg: LinkerConfig = LinkerConfig()): DataFrame = {
     val feat2 = scoredFeatures(spark, mentions, index, cfg)
+    val popularity =
+      if (cfg.normalizeScore) col("popularity_norm")
+      else col("popularity_norm") * lit(index.maxPopularity.getOrElse(sys.error(
+        "normalizeScore=false needs NameIndexTables.maxPopularity")))
 
     // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
     //      first in result order (pos asc) ----
     val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
       .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
-    feat2
+    val main = feat2
       .withColumn("variant_rank", row_number().over(wEnt))
       .filter(col("variant_rank") === 1)
       .select(
         col("mention_norm"), col("id"), col("name"), col("description"),
-        split(col("types_text"), " ").as("types"),
+        col("types_text"),
         col("kind"), col("ner_type").as("NERtype"),
         col("explicit_types"), col("extended_types"),
         col("ambiguity_mention"), col("corrects_tokens"),
@@ -249,10 +312,80 @@ object Linker {
         col("ntoken").as("ntoken_entity"),
         length(col("mention_norm")).as("length_mention"),
         col("length").as("length_entity"),
-        col("popularity_norm").as("popularity"),
+        popularity.as("popularity"),
         col("pos_score"), col("es_score"), col("ed_score"),
         col("jaccard_score"), col("jaccardNgram_score"),
         col("pos").as("rank"))
+
+    val full = if (cfg.ids.isEmpty) main else {
+      import spark.implicits._
+      // ---- forced-candidate fetch (`_check_ids`:348-395): one en,
+      // non-alias index row per requested id (the per-id limit=1 query),
+      // deterministic pick = smallest name_clean ----
+      val forcedIds = broadcast(cfg.ids.distinct.toDF("id"))
+      val w1 = Window.partitionBy(col("id")).orderBy(col("name_clean"))
+      val oneRow = index.names
+        .filter(!col("is_alias") && array_contains(col("languages"), "en"))
+        .join(forcedIds, Seq("id"), "left_semi")
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+
+      val mentionsD = distinctMentions(mentions)
+      val perMention = main.groupBy(col("mention_norm")).agg(
+        first(col("ambiguity_mention")).as("amb_m"),
+        first(col("corrects_tokens")).as("cor_m"),
+        max(col("rank")).as("max_rank"))
+      val missing = mentionsD.crossJoin(forcedIds)
+        .join(main.select("mention_norm", "id"), Seq("mention_norm", "id"), "left_anti")
+
+      val wForced = Window.partitionBy(col("mention_norm")).orderBy(col("id"))
+      val fetched = missing.join(oneRow, Seq("id"))
+        .join(perMention, Seq("mention_norm"), "left")
+        .select(
+          col("mention_norm"), col("id"), col("name"), col("description"),
+          col("types_text"),
+          col("kind"), col("ner_type").as("NERtype"),
+          col("explicit_types"), col("extended_types"),
+          col("amb_m").as("ambiguity_mention"),
+          col("cor_m").as("corrects_tokens"),
+          Text.ntoken(col("mention_norm")).as("ntoken_mention"),
+          col("ntoken").as("ntoken_entity"),
+          length(col("mention_norm")).as("length_mention"),
+          col("length").as("length_entity"),
+          popularity.as("popularity"),
+          // a 1-hit ES response: pos_score = (0+1)/1, es_score = s/s = 1
+          lit(1.0).as("pos_score"), lit(1.0).as("es_score"),
+          Similarity.editDistanceScore(col("name_clean"), col("mention_norm"))
+            .as("ed_score"),
+          Similarity.setOverlapScore(col("name_tokens"), col("mention_tokens"))
+            .as("jaccard_score"),
+          Similarity.setOverlapScore(col("name_grams"), col("mention_grams"))
+            .as("jaccardNgram_score"),
+          (coalesce(col("max_rank"), lit(0)) + row_number().over(wForced))
+            .as("rank"))
+      main.unionByName(fetched)
+    }
+
+    // ---- J5 types {id, name} enrichment over the final candidate set
+    // ((mention_norm, id) is unique after dedup) ----
+    val typeNames = index.typeNames.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("entity string, name string")))
+    val typeIds = full.select(col("mention_norm"), col("id"),
+        posexplode_outer(filter(split(col("types_text"), " "), t => t =!= ""))
+          .as(Seq("tpos", "tid")))
+      .join(typeNames.select(col("entity").as("tid"), col("name").as("tname")),
+        Seq("tid"), "left")
+      .groupBy(col("mention_norm"), col("id"))
+      .agg(transform(
+        array_sort(collect_list(when(col("tid").isNotNull,
+          struct(col("tpos").as("p"),
+            struct(col("tid").as("id"), coalesce(col("tname"), col("tid")).as("name"))
+              .as("t"))))),
+        e => e.getField("t")).as("types"))
+    full.join(typeIds, Seq("mention_norm", "id"), "left")
+      .withColumn("types", coalesce(col("types"),
+        array().cast("array<struct<id:string,name:string>>")))
+      .drop("types_text")
   }
 
   /** One-shot pipeline linking: the scored-candidate core + a SINGLE
@@ -467,7 +600,9 @@ object Linker {
       .filter(col("pos") <= cfg.limit)
       .withColumn("n_hits", count(lit(1)).over(wMention))
       .withColumn("pos_score", col("pos").cast("double") / col("n_hits"))
-      .withColumn("es_score", col("es_raw") / max(col("es_raw")).over(wMention))
+      .withColumn("es_score",
+        if (cfg.normalizeScore) col("es_raw") / max(col("es_raw")).over(wMention)
+        else col("es_raw")) // normalize_score=false: raw score (elastic.py:99)
       // fat name columns + mention sets only touch post-cut rows
       .join(namesFat, Seq("name_row_id"))
       .join(mentionsD, Seq("mention_norm"))
@@ -505,8 +640,16 @@ object Linker {
   }
 }
 
-/** The three index tables produced by NameIndex (bucketable sides of the
-  * candidate-gen joins). */
+/** The index tables produced by NameIndex (bucketable sides of the
+  * candidate-gen joins).
+  * @param typeNames     optional (entity, name) en labels of kind='type'
+  *                      items, for the J5 types {id,name} enrichment
+  *                      (`lookup_retriever.py:262-285,397-401`); absent ⇒
+  *                      names fall back to the QIDs themselves.
+  * @param maxPopularity index max popularity (A1 scalar) for
+  *                      normalize_score=false denormalization. */
 case class NameIndexTables(names: DataFrame, postings: DataFrame,
                            postings3g: DataFrame,
-                           postingsPair: Option[DataFrame] = None)
+                           postingsPair: Option[DataFrame] = None,
+                           typeNames: Option[DataFrame] = None,
+                           maxPopularity: Option[Double] = None)

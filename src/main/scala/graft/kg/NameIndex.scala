@@ -56,8 +56,15 @@ object NameIndex {
     * Columns: id, name, name_clean, languages, is_alias, kind, ner_type,
     * explicit_types, extended_types, types_text, description,
     * popularity_norm, ntoken, length. */
+  /** A1 global max popularity — defensive: empty input → 0, any numeric
+    * popularity type accepted (cast to double before the read). */
+  def maxPopularity(items: DataFrame): Double = {
+    val row = items.agg(max(col("popularity").cast("double"))).first()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   def names(items: DataFrame): DataFrame = {
-    val maxPop = items.agg(max(col("popularity"))).first().getInt(0).toDouble
+    val maxPop = maxPopularity(items)
 
     // surface forms: labels (is_alias=false) ∪ aliases (true) ∪ PERS abbrevs
     val labelRows = items.select(col("entity"), explode(col("labels")).as(Seq("lang", "name")))

@@ -117,8 +117,12 @@ object Pipeline {
 
     // ---- linking ----
     val links = stage("links") {
+      val typeNames = items.filter(col("kind") === "type")
+        .select(col("entity"), col("labels")("en").as("name"))
+        .filter(col("name").isNotNull)
       Linker.linkTop1(spark, mentions,
-        NameIndexTables(names, postings, postings3g, Some(postingsPair)),
+        NameIndexTables(names, postings, postings3g, Some(postingsPair),
+          Some(typeNames), Some(NameIndex.maxPopularity(items))),
         cfg, minLinkScore)
     }
 

@@ -20,8 +20,13 @@ class LinkerSpec extends SparkSpec {
     val items = ParseEntities.items(parsed, closure,
       NerSeeds.geoSeeds(spark, closure), NerSeeds.orgSeeds(spark, closure)).cache()
     val names = NameIndex.names(items).cache()
+    val typeNames = items.filter(col("kind") === "type")
+      .select(col("entity"), col("labels")("en").as("name"))
+      .filter(col("name").isNotNull)
     (items, NameIndexTables(names,
-      NameIndex.postings(names).cache(), NameIndex.postings3g(names).cache()))
+      NameIndex.postings(names).cache(), NameIndex.postings3g(names).cache(),
+      typeNames = Some(typeNames),
+      maxPopularity = Some(NameIndex.maxPopularity(items))))
   }
   private lazy val items = world._1
   private lazy val index = world._2
@@ -132,6 +137,89 @@ class LinkerSpec extends SparkSpec {
     assert(math.abs(amb - nExact / nIds) < 1e-9)
     val ct = out.select("corrects_tokens").distinct().as[Double].head()
     assert(ct == 1.0) // the token "springfield" appears in candidate labels
+  }
+
+  test("types enrichment: [{id, name}] structs with kind='type' labels (J5)") {
+    val out = Linker.lookup(spark, mentionsOf("Alderton"), index,
+      LinkerConfig(limit = 50)).cache()
+    val typed = out.select(explode(col("types")).as("t"))
+      .select(col("t.id").as("tid"), col("t.name").as("tname"))
+      .as[(String, String)].collect()
+    assert(typed.nonEmpty, "city candidates carry P31 types")
+    // city entities are P31 Q515 whose label is "city" in the fixture KG
+    val labels = items.filter(col("kind") === "type")
+      .select(col("entity"), col("labels")("en")).as[(String, String)]
+      .collect().toMap
+    typed.foreach { case (tid, tname) =>
+      assert(tname == labels.getOrElse(tid, tid),
+        s"type $tid should be named ${labels.getOrElse(tid, tid)}, got $tname")
+    }
+    assert(typed.exists { case (tid, tname) => tname != tid },
+      "at least one type id must resolve to a label")
+  }
+
+  test("forced ids (_check_ids): missing id appended with pos=es=1, rank after main") {
+    val forced = items
+      .filter(!lower(col("labels")("en")).contains("springfield") &&
+        col("kind") === "entity")
+      .select("entity").as[String].head()
+    val base = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50)).cache()
+    assert(!base.filter(col("id") === forced).isEmpty == false) // not in base
+    val out = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, ids = Seq(forced))).cache()
+    val row = out.filter(col("id") === forced).first()
+    assert(row.getAs[Double]("pos_score") == 1.0)
+    assert(row.getAs[Double]("es_score") == 1.0)
+    val maxMain = base.agg(max("rank")).first().getInt(0)
+    assert(row.getAs[Int]("rank") == maxMain + 1)
+    // same 18-feature shape, real similarity features
+    assert(row.getAs[Double]("ed_score") >= 0.0 && row.getAs[Double]("ed_score") <= 1.0)
+    // an id already in the match set is NOT duplicated
+    val present = base.orderBy(col("rank")).select("id").as[String].head()
+    val out2 = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, ids = Seq(present)))
+    assert(out2.filter(col("id") === present).count() == 1)
+  }
+
+  test("normalize_score=false denormalizes popularity and keeps raw es (F7)") {
+    val norm = Linker.lookup(spark, mentionsOf("Alderton"), index,
+      LinkerConfig(limit = 20)).cache()
+    val denorm = Linker.lookup(spark, mentionsOf("Alderton"), index,
+      LinkerConfig(limit = 20, normalizeScore = false)).cache()
+    val maxPop = index.maxPopularity.get
+    val n = norm.select("id", "popularity").as[(String, Double)].collect().toMap
+    val d = denorm.select("id", "popularity").as[(String, Double)].collect().toMap
+    n.foreach { case (id, p) => assert(math.abs(d(id) - p * maxPop) < 1e-9) }
+    // raw es: per-mention max no longer forced to 1 (idf sums exceed 1 here)
+    val maxEs = denorm.agg(max("es_score")).first().getDouble(0)
+    assert(maxEs > 1.0)
+  }
+
+  test("fuzzy short-token fallback: zero-shared-gram edits are found (SymSpell deletes)") {
+    // 'oak' → 'oxk' (lev 1, len 3: AUTO allows 1 edit) shares NO 3-gram;
+    // 'throne' → 'thxonx' (lev 2, len 6) shares none either — both only
+    // reachable through the delete-neighborhood join
+    val mini = Seq(
+      ("Q1", Map("en" -> "Oak"), "a tree"),
+      ("Q2", Map("en" -> "Throne"), "a chair"),
+      ("Q3", Map("en" -> "Maple"), "another tree")
+    ).toDF("entity", "labels", "description")
+      .withColumn("aliases", typedLit(Map.empty[String, Seq[String]]))
+      .withColumn("ner_types", typedLit(Seq.empty[String]))
+      .withColumn("p31", typedLit(Seq.empty[String]))
+      .withColumn("p279", typedLit(Seq.empty[String]))
+      .withColumn("explicit_types", typedLit(Seq.empty[String]))
+      .withColumn("extended_types", typedLit(Seq.empty[String]))
+      .withColumn("kind", lit("entity"))
+      .withColumn("popularity", lit(1))
+    val nm = NameIndex.names(mini)
+    val idx2 = NameIndexTables(nm, NameIndex.postings(nm), NameIndex.postings3g(nm))
+    val out = Linker.lookup(spark, mentionsOf("Oxk", "Thxonx"), idx2,
+      LinkerConfig(limit = 10, fuzzy = true)).cache()
+    val found = out.select("mention_norm", "id").as[(String, String)].collect().toSet
+    assert(found.contains(("oxk", "Q1")), s"got $found")
+    assert(found.contains(("thxonx", "Q2")), s"got $found")
   }
 
   test("salting path yields identical candidates to the unsalted join") {
