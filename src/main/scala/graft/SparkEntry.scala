@@ -472,6 +472,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- N2: column analysis with NE/LIT taxonomy ----
+    "q_column_analysis" -> ((s, dir) => {
+      val cells =
+        t(s, dir, "orders").select(lit("dates").as("col_id"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("value"))
+          .union(t(s, dir, "supplier").select(lit("nums").as("col_id"),
+            round(col("s_acctbal"), 2).cast("string").as("value")))
+          .union(t(s, dir, "nation").select(lit("places").as("col_id"),
+            col("n_name").as("value")))
+          .union(t(s, dir, "customer").select(lit("words").as("col_id"),
+            col("c_mktsegment").as("value")))
+      val gaz = t(s, dir, "nation")
+        .select(Text.cleanStr(col("n_name")).as("name_clean"), lit("LOC").as("ner_type"))
+      graft.kg.Retrieval.columnAnalysis(cells, Some(gaz))
+        .orderBy(col("col_id"))
+    }),
+
+    // ---- N1: per-mention NER classes from the index gazetteer ----
+    "q_mention_ner" -> ((s, dir) => {
+      val mentions =
+        t(s, dir, "nation").select(Text.cleanStr(col("n_name")).as("mention_norm"))
+          .union(t(s, dir, "supplier").select(Text.cleanStr(col("s_name")).as("mention_norm")))
+          .union(t(s, dir, "customer").filter(col("c_custkey") <= 500)
+            .select(Text.cleanStr(col("c_name")).as("mention_norm")))
+      val gaz =
+        t(s, dir, "nation").select(Text.cleanStr(col("n_name")).as("name_clean"),
+            lit("LOC").as("ner_type"))
+          .union(t(s, dir, "supplier").select(Text.cleanStr(col("s_name")).as("name_clean"),
+            lit("ORG").as("ner_type")))
+      graft.kg.DetectMentions.classifyMentions(mentions, gaz)
+        .groupBy(col("mention_norm"), col("ner_class"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("mention_norm"), col("ner_class"))
+    }),
+
     // ---- flagship: PRODUCTION candidate-gen path — token-pair posting
     //      lists + common-pair blocking (Linker.blockedMentionTokens /
     //      NameIndex.tokenPairs+postingsPair) + min-should-match + scoring
@@ -951,6 +986,57 @@ object SparkEntry {
     "q_media_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 8 AS dim
          FROM documents ORDER BY doc_id""",
+
+    "q_column_analysis" -> {
+      val litMap =
+        """CASE label WHEN 'FLOAT' THEN 'NUMBER' WHEN 'INTEGER' THEN 'NUMBER'
+           WHEN 'DATE' THEN 'DATE' WHEN 'DATETIME' THEN 'DATE'
+           WHEN 'TIME' THEN 'DATE' ELSE 'STRING' END"""
+      s"""WITH cells AS (
+            SELECT 'dates' AS col_id, strftime(o_orderdate, '%Y-%m-%d') AS value FROM orders
+            UNION ALL SELECT 'nums', CAST(round(s_acctbal, 2) AS VARCHAR) FROM supplier
+            UNION ALL SELECT 'places', n_name FROM nation
+            UNION ALL SELECT 'words', c_mktsegment FROM customer),
+          gaz AS (SELECT DISTINCT ${cleanSql("n_name")} AS clean, 'LOC' AS ner_type
+                  FROM nation),
+          voted AS (
+            SELECT c.col_id,
+              CASE WHEN g.ner_type IS NOT NULL THEN 'NE' ELSE 'LIT' END AS tag,
+              CASE WHEN g.ner_type IS NOT NULL THEN
+                (CASE g.ner_type WHEN 'PERS' THEN 'PERSON' WHEN 'ORG' THEN 'ORGANIZATION'
+                 WHEN 'LOC' THEN 'LOCATION' ELSE 'OTHER' END)
+              ELSE (SELECT $litMap FROM (SELECT ${Literals.classifySql("c.value")} AS label))
+              END AS classification
+            FROM cells c LEFT JOIN gaz g ON ${cleanSql("c.value")} = g.clean),
+          counts AS (SELECT col_id, tag, classification, count(*) AS n
+                     FROM voted GROUP BY 1, 2, 3),
+          best AS (SELECT col_id, tag, classification, n,
+                     row_number() OVER (PARTITION BY col_id
+                                        ORDER BY n DESC, classification) AS rk
+                   FROM counts)
+          SELECT col_id, tag, classification, classification AS datatype, n
+          FROM best WHERE rk = 1 ORDER BY col_id"""
+    },
+
+    "q_mention_ner" ->
+      s"""WITH mentions AS (
+            SELECT ${cleanSql("n_name")} AS mention_norm FROM nation
+            UNION ALL SELECT ${cleanSql("s_name")} FROM supplier
+            UNION ALL SELECT ${cleanSql("c_name")} FROM customer WHERE c_custkey <= 500),
+          gaz AS (
+            SELECT ${cleanSql("n_name")} AS clean, 'LOC' AS ner_type FROM nation
+            UNION ALL SELECT ${cleanSql("s_name")}, 'ORG' FROM supplier),
+          surface AS (
+            SELECT clean, ner_type FROM (
+              SELECT clean, ner_type, count(*) AS cnt,
+                row_number() OVER (PARTITION BY clean
+                                   ORDER BY count(*) DESC, ner_type) AS rk
+              FROM gaz GROUP BY clean, ner_type)
+            WHERE rk = 1)
+          SELECT m.mention_norm, coalesce(s.ner_type, 'OTHERS') AS ner_class,
+                 count(*) AS n
+          FROM mentions m LEFT JOIN surface s ON m.mention_norm = s.clean
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_lookup_candidates" ->
       s"""WITH $gateLookupCte

@@ -67,4 +67,27 @@ object DetectMentions {
         col("url"), col("m.surface").as("surface"),
         col("m.start").as("start"), col("m.end").as("end"),
         graft.core.Text.cleanStr(col("m.surface")).as("mention_norm"))
+
+  /** Per-mention NER classification (N1's missing half — the reference
+    * attaches a spaCy class to each mention, `ner_recognizer.py:14-26`).
+    * Deterministic gazetteer rule instead of a model: a mention whose
+    * normalized surface exactly matches an index surface takes that
+    * surface's majority NERtype (majority = count desc, NERtype asc);
+    * unmatched mentions are OTHERS — the lamAPI NERtype taxonomy
+    * (PERS/LOC/ORG/OTHERS), so the output can drive lookup's ner_type
+    * filter directly (the reference's NER→lookup composition).
+    * @param gazetteer (name_clean, ner_type) — e.g. NameIndex.names. */
+  def classifyMentions(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name_clean")).orderBy(col("cnt").desc, col("ner_type"))
+    val surface = gazetteer
+      .filter(col("ner_type").isNotNull)
+      .groupBy(col("name_clean"), col("ner_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("name_clean").as("mention_norm"), col("ner_type"))
+    mentions.join(surface, Seq("mention_norm"), "left")
+      .withColumn("ner_class", coalesce(col("ner_type"), lit("OTHERS")))
+      .drop("ner_type")
+  }
 }

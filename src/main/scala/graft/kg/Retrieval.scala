@@ -45,9 +45,33 @@ object Retrieval {
       .agg(map_from_entries(collect_list(struct(col("datatype"), col("by_pred"))))
         .as("literals"))
 
-  /** /entity/labels — `{lang → label}` (`labels_retriever.py:11-45`). */
-  def getLabels(items: DataFrame, ids: DataFrame): DataFrame =
-    items.join(req(ids), Seq("entity")).select(col("entity"), col("labels"), col("aliases"))
+  /** /entity/labels — the reference envelope
+    * (`labels_retriever.py:20-45`): per entity {kind, NERtype, url,
+    * description, labels, aliases}, with optional `lang` narrowing (labels
+    * and aliases reduced to that language when present) and `category`
+    * narrowing (the reference's `query["category"]` filter — realized on
+    * `kind`, the field our items carry for it).
+    * NERtype = first observed ner type, as the index stores it. */
+  def getLabels(items: DataFrame, ids: DataFrame,
+                lang: Option[String] = None, category: Option[String] = None,
+                kgUrl: String = "https://www.wikidata.org/wiki/"): DataFrame = {
+    val base = items.join(req(ids), Seq("entity"))
+    val filtered = category.map(c => base.filter(col("kind") === c)).getOrElse(base)
+    val (labelsCol, aliasesCol) = lang match {
+      case Some(l) =>
+        (when(col("labels")(l).isNotNull,
+           map(lit(l), col("labels")(l))).otherwise(col("labels")),
+         when(col("aliases")(l).isNotNull,
+           map(lit(l), col("aliases")(l))).otherwise(col("aliases")))
+      case None => (col("labels"), col("aliases"))
+    }
+    filtered.select(
+      col("entity"), col("kind"),
+      when(size(col("ner_types")) > 0, col("ner_types").getItem(0)).as("NERtype"),
+      concat(lit(kgUrl), col("entity")).as("url"),
+      col("description"),
+      labelsCol.as("labels"), aliasesCol.as("aliases"))
+  }
 
   /** /entity/sameas — wikidata/wikipedia urls (`sameas_retriever.py`). */
   def getSameas(items: DataFrame, ids: DataFrame): DataFrame =
@@ -95,17 +119,94 @@ object Retrieval {
     sorted.limit(k)
   }
 
-  /** /literal-recognizer + /column-analysis tag rollup (N2 taxonomy):
-    * per column, the winning LIT datatype by majority
-    * (`column_analysis.py:36-87` output adapter semantics). */
-  def columnAnalysis(cells: DataFrame): DataFrame = {
-    val labeled = cells.withColumn("label",
-      graft.functions.Literals.classify(col("value")))
-    labeled.groupBy(col("col_id"), col("label")).agg(count(lit(1)).as("n"))
+  /** Per-entity-scoped summary (`summary_retriever.py:5-22`): the summary
+    * rows are (entity, pred, count); an `entities` list narrows to those
+    * subjects (`{"entity": {"$in": …}}`), then rank by count asc/desc and
+    * cut to k — ties broken deterministically by (entity, pred). */
+  private def scopedSummary(edges: DataFrame, entities: Option[DataFrame],
+                            k: Int, asc: Boolean): DataFrame = {
+    val base = entities match {
+      case Some(e) => edges.join(broadcast(
+        e.select(col("entity").as("subj")).distinct()), Seq("subj"), "left_semi")
+      case None => edges
+    }
+    val counts = base.groupBy(col("subj").as("entity"), col("pred"))
+      .agg(count(lit(1)).as("count"))
+    val sorted =
+      if (asc) counts.orderBy(col("count").asc, col("entity"), col("pred"))
+      else counts.orderBy(col("count").desc, col("entity"), col("pred"))
+    sorted.limit(k)
+  }
+
+  /** /summary/objects — over the entity→entity edge table. */
+  def objectsSummary(objects: DataFrame, entities: Option[DataFrame] = None,
+                     k: Int = 10, asc: Boolean = false): DataFrame =
+    scopedSummary(objects, entities, k, asc)
+
+  /** /summary/literals — over the entity→literal edge table. */
+  def literalsSummary(literals: DataFrame, entities: Option[DataFrame] = None,
+                      k: Int = 10, asc: Boolean = false): DataFrame =
+    scopedSummary(literals.select(col("subj"), col("pred")), entities, k, asc)
+
+  /** lamAPI NERtype → column-classifier NE class
+    * (`column_analysis.py:58-59` taxonomy). */
+  val NeClassOf: Map[String, String] = Map(
+    "PERS" -> "PERSON", "ORG" -> "ORGANIZATION", "LOC" -> "LOCATION",
+    "OTHERS" -> "OTHER")
+
+  /** Literal cascade label → column-classifier LIT class
+    * (`column_analysis.py:60` taxonomy: NUMBER / DATE / STRING). */
+  val LitClassOf: Map[String, String] = Map(
+    "FLOAT" -> "NUMBER", "INTEGER" -> "NUMBER",
+    "DATE" -> "DATE", "DATETIME" -> "DATE", "TIME" -> "DATE")
+
+  /** /column-analysis (N2): per column the NE/LIT tag, classification and
+    * datatype of `column_analysis.py:58-87`. The reference delegates
+    * per-cell typing to an external ML classifier; our deterministic
+    * replacement votes per cell:
+    *  - a cell whose cleaned value exactly matches a gazetteer surface
+    *    (the name index) votes NE(class of the surface's NERtype);
+    *  - otherwise it votes LIT(mapped literal-cascade label).
+    * Column tag/classification = the majority cell vote (count desc, then
+    * classification asc — deterministic).
+    * @param gazetteer optional (name_clean, ner_type) surface table; when
+    *                  absent every cell votes LIT. */
+  def columnAnalysis(cells: DataFrame,
+                     gazetteer: Option[DataFrame] = None): DataFrame = {
+    val litClass = LitClassOf.foldRight(lit("STRING")) { case ((k, v), els) =>
+      when(col("label") === k, lit(v)).otherwise(els)
+    }
+    val neClass = NeClassOf.foldRight(lit("OTHER")) { case ((k, v), els) =>
+      when(col("ner_type") === k, lit(v)).otherwise(els)
+    }
+    val labeled = cells
+      .withColumn("label", graft.functions.Literals.classify(col("value")))
+      .withColumn("clean", graft.core.Text.cleanStr(col("value")))
+    val voted = gazetteer match {
+      case Some(g) =>
+        // one ner_type per surface: deterministic majority inside the
+        // gazetteer itself (count desc, ner_type asc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name_clean")).orderBy(col("cnt").desc, col("ner_type"))
+        val surface = g.groupBy(col("name_clean"), col("ner_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("name_clean").as("clean"), col("ner_type"))
+        labeled.join(surface, Seq("clean"), "left")
+          .withColumn("tag", when(col("ner_type").isNotNull, "NE").otherwise("LIT"))
+          .withColumn("classification",
+            when(col("ner_type").isNotNull, neClass).otherwise(litClass))
+      case None =>
+        labeled.withColumn("tag", lit("LIT"))
+          .withColumn("classification", litClass)
+    }
+    voted.groupBy(col("col_id"), col("tag"), col("classification"))
+      .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("col_id"))
-          .orderBy(col("n").desc, col("label"))))
+          .orderBy(col("n").desc, col("classification"))))
       .filter(col("rk") === 1)
-      .select(col("col_id"), col("label").as("column_type"), col("n"))
+      .select(col("col_id"), col("tag"), col("classification"),
+        col("classification").as("datatype"), col("n"))
   }
 }

@@ -46,11 +46,36 @@ object Triples {
       .drop("canon")
 
   /** Per-page entity pairs × KG edges → extracted triples.
+    *
+    * Skew guards (a hub/listing page with k linked entities would emit k²
+    * pairs into the join):
+    *  1. each side is SEMI-JOINED against the KG edge endpoints first — a
+    *     linked entity that never appears as a subject (resp. object) of
+    *     any KG edge cannot contribute a triple and never enters the pair
+    *     product (cuts k before squaring);
+    *  2. pages keeping more than maxQidsPerPage distinct qids after the
+    *     endpoint cut are truncated deterministically (qid asc) — a page
+    *     linking 10³+ KG entities is a listing/index page whose
+    *     co-mention signal is noise; the cap bounds the worst page at
+    *     maxQidsPerPage² pairs (documented coverage cut, logged by count
+    *     in the lineage rows like every stage).
+    *
     * @param pageLinks (url, qid) distinct linked entities per page
     * @param kgObjects (subj, pred, obj) KG edge table */
-  def extract(pageLinks: DataFrame, kgObjects: DataFrame): DataFrame = {
-    val a = pageLinks.select(col("url"), col("qid").as("subj"))
-    val b = pageLinks.select(col("url"), col("qid").as("obj"))
+  def extract(pageLinks: DataFrame, kgObjects: DataFrame,
+              maxQidsPerPage: Int = 256): DataFrame = {
+    val subjSide = pageLinks.join(
+      kgObjects.select(col("subj").as("qid")).distinct(), Seq("qid"), "left_semi")
+    val objSide = pageLinks.join(
+      kgObjects.select(col("obj").as("qid")).distinct(), Seq("qid"), "left_semi")
+    def capped(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url")).orderBy(col("qid"))
+      df.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= maxQidsPerPage).drop("_rk")
+    }
+    val a = capped(subjSide).select(col("url"), col("qid").as("subj"))
+    val b = capped(objSide).select(col("url"), col("qid").as("obj"))
     val pairs = a.join(b, Seq("url")).filter(col("subj") =!= col("obj"))
     pairs
       .join(kgObjects, Seq("subj", "obj"))

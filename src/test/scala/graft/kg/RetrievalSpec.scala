@@ -85,12 +85,60 @@ class RetrievalSpec extends SparkSpec {
     assert(asc1.getLong(1) <= desc5.last._2)
   }
 
-  test("columnAnalysis: majority literal type per column (N2)") {
+  test("columnAnalysis: NE/LIT taxonomy per column (column_analysis.py:58-73)") {
     val cells = Seq(
       ("c1", "2021-01-02"), ("c1", "1999-12-31"), ("c1", "not a date"),
-      ("c2", "12"), ("c2", "34"), ("c2", "56")).toDF("col_id", "value")
-    val out = Retrieval.columnAnalysis(cells).collect()
+      ("c2", "12"), ("c2", "3.4"), ("c2", "56"),
+      ("c3", "Alderton"), ("c3", "Springfield"), ("c3", "nowhere town"),
+      ("c4", "plain words"), ("c4", "more words"), ("c4", "12")
+    ).toDF("col_id", "value")
+    val gaz = Seq(("alderton", "LOC"), ("springfield", "LOC"))
+      .toDF("name_clean", "ner_type")
+    val out = Retrieval.columnAnalysis(cells, Some(gaz)).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(out("c1") == ("LIT", "DATE", "DATE"))
+    assert(out("c2") == ("LIT", "NUMBER", "NUMBER"))
+    assert(out("c3") == ("NE", "LOCATION", "LOCATION"))
+    assert(out("c4") == ("LIT", "STRING", "STRING"))
+    // without a gazetteer every column is LIT
+    val noGaz = Retrieval.columnAnalysis(cells).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
-    assert(out("c1") == "DATE" && out("c2") == "INTEGER")
+    assert(noGaz("c3") == "LIT")
+  }
+
+  test("getLabels envelope: kind/NERtype/url/description + lang narrowing") {
+    val l = Retrieval.getLabels(items, ids("Q100000"), lang = Some("en")).first()
+    assert(l.getAs[String]("url") == "https://www.wikidata.org/wiki/Q100000")
+    assert(l.getAs[String]("kind") != null)
+    assert(l.getAs[Map[String, String]]("labels").keySet == Set("en"))
+    // category narrowing on kind
+    val none = Retrieval.getLabels(items, ids("Q100000"), category = Some("type"))
+    assert(none.count() == 0 ||
+      none.select("kind").as[String].collect().forall(_ == "type"))
+  }
+
+  test("scoped summaries: per-entity rows, entity $in narrowing, asc/desc") {
+    val all = Retrieval.objectsSummary(objects, None, k = 5)
+      .as[(String, String, Long)].collect()
+    assert(all.length == 5)
+    assert(all.map(_._3).toSeq == all.map(_._3).sortBy(-_).toSeq)
+    val scoped = Retrieval.objectsSummary(objects, Some(ids("Q100008")), k = 10)
+      .as[(String, String, Long)].collect()
+    assert(scoped.nonEmpty && scoped.forall(_._1 == "Q100008"))
+    val lits = Retrieval.literalsSummary(literals, Some(ids("Q100008")), k = 3, asc = true)
+      .as[(String, String, Long)].collect()
+    assert(lits.forall(_._1 == "Q100008"))
+    assert(lits.map(_._3).toSeq == lits.map(_._3).sorted.toSeq)
+  }
+
+  test("classifyMentions: gazetteer majority NERtype, OTHERS fallback (N1)") {
+    val mentions = Seq("alderton", "unknown thing").toDF("mention_norm")
+    val gaz = Seq(("alderton", "LOC"), ("alderton", "LOC"), ("alderton", "ORG"))
+      .toDF("name_clean", "ner_type")
+    val out = DetectMentions.classifyMentions(mentions, gaz).collect()
+      .map(r => (r.getString(0), r.getAs[String]("ner_class"))).toMap
+    assert(out("alderton") == "LOC")   // majority 2-1
+    assert(out("unknown thing") == "OTHERS")
   }
 }
