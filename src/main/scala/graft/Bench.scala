@@ -16,8 +16,8 @@ import org.apache.spark.sql.SparkSession
   *     for the measured efficiency-vs-corpus-size table (0.76 at 1→4
   *     cores on 768k pages; latency-floor decomposition there).
   *
-  * Corpus size via SPARK_GRAFT_BENCH_PAGES (default 96000 pages; KG capped
-  * at 32k entities — fixed-KG production shape).
+  * Corpus size via SPARK_GRAFT_BENCH_PAGES (default 384000 pages; KG
+  * capped at 32k entities — fixed-KG production shape).
   */
 object Bench {
 
@@ -25,16 +25,19 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores with AQE partition-coalescing OFF: the pipeline's many
+      // mid-size shuffles otherwise coalesce to 1-2 post-shuffle
+      // partitions and serialize whole stages (measured: links-stage
+      // parallelism 2.5→3.3 of 4 with this setting)
+      .config("spark.sql.shuffle.partitions", 4 * cpus)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // split sizing: the bench corpus is a few hundred MB — default 128MB
-      // splits/advisory sizes would run scans and post-shuffle stages with
-      // 1-3 tasks, serializing the run regardless of cores
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // splits would run scans with 1-3 tasks regardless of cores
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -49,7 +52,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "96000").toInt
+    // 384k pages: large enough that the corpus-linear work (extract,
+    // detect, link, triples) dominates the parallelism-independent floor
+    // (driver latency, vocabulary-scale joins, stage commits) — measured
+    // efficiency rises monotonically with corpus size (BASELINE.md table)
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "384000").toInt
     // KG size is CAPPED: the production shape is a FIXED KG with a growing
     // corpus — coupling entities to pages would also grow candidates-per-
     // mention linearly, making the bench artificially quadratic

@@ -29,12 +29,53 @@ import org.apache.spark.sql.functions._
 object Canonicalize {
 
   /** @param edges (src, dst) undirected edges (string or numeric labels)
+    * @param maxDriverEdges graphs at or below this edge count are solved
+    *        with an in-driver union-find instead of the iterative join
+    *        loop: the loop pays ~6 shuffle-job latencies per round, which
+    *        dominates wall time when the equivalence graph is tiny (the
+    *        common case — same-as edges are sparse). Identical output by
+    *        construction (same min-label semantics); the distributed loop
+    *        remains the path for large graphs and is what the size check
+    *        costs one cheap count() to choose.
     * @return (node, component) — component = min node label reachable. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 24): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+  def connectedComponents(edges: DataFrame, maxIters: Int = 24,
+                          maxDriverEdges: Long = 100000L): DataFrame = {
+    val sym0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .localCheckpoint(eager = true)
+    val spark = edges.sparkSession
+    val nodeType = sym0.schema("u").dataType
+    val srcNullable = sym0.schema("u").nullable
+    val driverOrd = GraphDriverPath.orderingFor(nodeType)
+    val nEdges = if (driverOrd.isDefined) sym0.count() else Long.MaxValue
+    if (nEdges <= maxDriverEdges) {
+      implicit val ord: Ordering[Any] = driverOrd.get
+      val es = sym0.collect().map(r => (r.get(0), r.get(1)))
+      // union-find with min-label roots (deterministic: label order only,
+      // NATIVE ordering of the column type — identical to the loop's min)
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.sorted
+        .map(n => org.apache.spark.sql.Row(n, find(n)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, rows.size / 500000 + 1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType, nullable = srcNullable),
+          org.apache.spark.sql.types.StructField("component", nodeType, nullable = srcNullable))))
+    }
+    val sym = sym0.localCheckpoint(eager = true)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(eager = true)

@@ -61,7 +61,31 @@ case class LinkerConfig(
       * denormalized (popularity_norm × index max popularity — requires
       * NameIndexTables.maxPopularity) and es_score is the raw lexical
       * score, not divided by the per-mention max. */
-    normalizeScore: Boolean = true)
+    normalizeScore: Boolean = true,
+    /** Two-pass retrieval for the linking path (minShouldMatch only):
+      * fuzzy expansion runs ONLY for mentions whose exact/pair candidate
+      * generation came up empty. On clean corpora (anchor-text mentions)
+      * this removes ~all fuzzy-expansion volume; a typo mention has no
+      * exact candidates and still gets the full fuzzy pass. OFF for
+      * lookup parity — the reference's ES query always scores fuzzy
+      * clauses alongside exact ones. */
+    fuzzyFallbackOnly: Boolean = false,
+    /** ES `max_expansions` (default 50): how many closest index terms a
+      * mention token may fuzzy-expand to. Linking runs can use a much
+      * tighter cap — the expansion join volume is linear in it, and terms
+      * beyond the first few nearest ones never win the composite. */
+    maxFuzzyExpansions: Int = 50,
+    /** Linking-branch fuzzy candidate generation. false (default) =
+      * single-token posting expansion with common-token blocking — the
+      * cheaper shape when posting lists are well-blocked (measured 2×
+      * less work on the bench corpus). true = through the PAIR-posting
+      * table (fuzzy-corrected token × other mention token): candidates
+      * that could never clear minimum-should-match die at the pair join —
+      * the right shape when even blocked single-token posting lists fan
+      * out too far (very large corpora with long tail-token postings);
+      * drops all-tokens-typo'd candidates (documented). Both produce the
+      * same links on the bench corpus (A/B in tools/ProfileLinks2). */
+    fuzzyPairGen: Boolean = false)
 
 /** Stages 7-9 — candidate generation, scoring, top-k: the distributed
   * re-realization of the reference's lookup
@@ -127,13 +151,15 @@ object Linker {
 
   def exactTokenMatches(spark: SparkSession, mentionsD: DataFrame,
                         postings: DataFrame, tokenDf: DataFrame,
-                        commonDf: Long, cfg: LinkerConfig): DataFrame = {
+                        commonDf: Long, cfg: LinkerConfig,
+                        hotTokens: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
     val mtok = blockedMentionTokens(mentionsD, tokenDf, commonDf)
 
-    // hot tokens from the already-computed df table (tiny result)
-    val hot = tokenDf.filter(col("df") >= cfg.hotTokenDf)
-      .select("token").as[String].collect().toSet
+    // hot tokens: precomputed at index-build time when available (skips a
+    // mid-DAG collect job), else from the df table (tiny result)
+    val hot = hotTokens.getOrElse(tokenDf.filter(col("df") >= cfg.hotTokenDf)
+      .select("token").as[String].collect().toSet)
 
     if (hot.isEmpty) {
       mtok.join(postings, Seq("token"))
@@ -198,13 +224,91 @@ object Linker {
     * @param postings3g (gram, token) vocabulary grams
     * @param tokenDf    (token, df); expansion targets with df > commonDf
     *                   are blocked (same policy as the exact path) */
+  /** Plain Levenshtein distance (driver-side verification). */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private def deleteSet(s: String, d: Int): Set[String] = {
+    var cur = Set(s); var all = Set(s)
+    for (_ <- 1 to d) {
+      cur = cur.flatMap(x => x.indices.map(i => x.take(i) + x.drop(i + 1)))
+      all ++= cur
+    }
+    all
+  }
+
   def fuzzyTokenMatches(mentionsD: DataFrame, postings: DataFrame,
                         postings3g: DataFrame, tokenDf: DataFrame,
-                        commonDf: Long, cfg: LinkerConfig): DataFrame = {
+                        commonDf: Long, cfg: LinkerConfig,
+                        vocabDriverMax: Long = 20000L,
+                        dedupTriples: Boolean = true): DataFrame = {
+    val expansions = fuzzyExpansions(mentionsD, postings3g, tokenDf, cfg,
+      vocabDriverMax)
+    fuzzyPhase2(mentionsD, postings, tokenDf, commonDf, expansions, dedupTriples)
+  }
+
+  /** Phase 1 only: the accepted (mtok → index token) fuzzy expansions. */
+  def fuzzyExpansions(mentionsD: DataFrame, postings3g: DataFrame,
+                      tokenDf: DataFrame, cfg: LinkerConfig,
+                      vocabDriverMax: Long = 20000L): DataFrame = {
+    val spark = mentionsD.sparkSession
     // distinct mention tokens (the query-side vocabulary)
     val mvocab = mentionsD
       .select(explode(col("mention_tokens")).as("mtok")).distinct()
       .filter(length(col("mtok")) >= 3)
+
+    // ---- phase 1, SMALL-VOCAB fast path: when both vocabularies fit the
+    // driver comfortably, the whole term-dictionary expansion runs as an
+    // in-driver SymSpell (delete-dictionary ≤2 over the index vocab,
+    // delete-probes ≤AUTO(d) per mention token — complete for lev ≤ d,
+    // same verified output and cap as the distributed path). This
+    // collapses ~14 vocabulary-scale exchanges into one broadcastable
+    // expansion table; the distributed gram+delete join path below is the
+    // 100 TB shape and takes over past the size guards. ----
+    val nVocab = tokenDf.count()
+    val nMvocab = if (nVocab <= vocabDriverMax) mvocab.count() else Long.MaxValue
+    if (nVocab <= vocabDriverMax && nMvocab <= 10 * vocabDriverMax) {
+      import spark.implicits._
+      val vocabArr = tokenDf.select("token").as[String].collect()
+      val mtoks = mvocab.select("mtok").as[String].collect()
+      val dict = scala.collection.mutable.HashMap.empty[String, List[String]]
+      vocabArr.foreach { t =>
+        deleteSet(t, 2).foreach(k => dict(k) = t :: dict.getOrElse(k, Nil))
+      }
+      val rows: Seq[(String, String)] = mtoks.toSeq.flatMap { m =>
+        val d = if (m.length < 3) 0 else if (m.length < 6) 1 else 2
+        if (d == 0) Seq.empty[(String, String)]
+        else {
+          val cands: Seq[String] =
+            deleteSet(m, d).flatMap(k => dict.getOrElse(k, Nil)).toSeq.distinct
+          cands
+            .map(t => (t, lev(m, t)))
+            .filter { case (_, l) => l >= 1 && l <= d }
+            .sortBy { case (t, l) => (l, t) }
+            .take(cfg.maxFuzzyExpansions)
+            .map { case (t, _) => (m, t) }
+        }
+      }
+      // RDD-backed, NOT a LocalRelation: a Seq-based toDF would embed every
+      // expansion row into the serialized plan of every downstream stage
+      val rdd = spark.sparkContext
+        .parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)),
+          math.max(1, rows.size / 100000 + 1))
+      return broadcast(spark.createDataFrame(rdd,
+        org.apache.spark.sql.types.StructType.fromDDL("mtok string, token string")))
+    }
+
     val mgrams = mvocab
       .select(col("mtok"), explode(Text.tokenNgrams(col("mtok"), 3)).as("gram"))
       .distinct()
@@ -246,23 +350,90 @@ object Linker {
       // here would re-derive every exact match through the gram join
       .filter(col("lev") <= autoFuzzEdits(length(col("mtok"))) && col("lev") >= 1)
 
-    // ES max_expansions (default 50): keep the 50 closest index terms per
-    // mention token, deterministic (lev asc, token asc)
+    // ES max_expansions: keep the cfg.maxFuzzyExpansions closest index
+    // terms per mention token, deterministic (lev asc, token asc)
     val wExp = Window.partitionBy(col("mtok")).orderBy(col("lev").asc, col("token").asc)
-    val expansions = verified
+    verified
       .withColumn("exp_rank", row_number().over(wExp))
-      .filter(col("exp_rank") <= 50)
+      .filter(col("exp_rank") <= cfg.maxFuzzyExpansions)
       .select(col("mtok"), col("token"))
+  }
 
-    // phase 2: expansions (minus common targets) → mentions → postings
+  /** phase 2: expansions (minus common targets) → mentions → postings. */
+  private def fuzzyPhase2(mentionsD: DataFrame, postings: DataFrame,
+                          tokenDf: DataFrame, commonDf: Long,
+                          expansions: DataFrame,
+                          dedupTriples: Boolean = true): DataFrame = {
     val rareExpansions = expansions
       .join(tokenDf.filter(col("df") <= commonDf).select("token"), Seq("token"))
     val mentionTok = mentionsD
       .select(col("mention_norm"), explode(col("mention_tokens")).as("mtok"))
-    mentionTok.join(rareExpansions, Seq("mtok"))
+    val raw = mentionTok.join(rareExpansions, Seq("mtok"))
       .join(postings, Seq("token"))
       .select(col("mention_norm"), col("name_row_id"), col("token"))
-      .distinct()
+    // a consumer that immediately re-aggregates can skip the dedup shuffle
+    if (dedupTriples) raw.distinct() else raw
+  }
+
+  /** (mention_norm, name_row_id, fuzzy-token, idf) rows → the aggregated
+    * (n_f, idf_f) stats over DISTINCT fuzzy tokens not already in the
+    * mention's token set — one shuffle, no triple-level distinct. */
+  private def fuzzyAggregate(hits: DataFrame): DataFrame =
+    hits
+      .groupBy(col("mention_norm"), col("name_row_id"))
+      .agg(collect_set(when(!array_contains(col("mention_tokens"), col("token")),
+        struct(col("token"), coalesce(col("idf"), lit(0.0)).as("idf")))).as("fs"))
+      .select(col("mention_norm"), col("name_row_id"),
+        size(col("fs")).cast("long").as("n_f"),
+        aggregate(col("fs"), lit(0.0), (acc, x) => acc + x.getField("idf")).as("idf_f"))
+
+  /** Fuzzy candidates for MULTI-token mentions in the linking branch,
+    * generated through the PAIR-POSTING table: a fuzzy-corrected token is
+    * paired with each OTHER mention token and joined against the
+    * candidate-blocking pair index — a fuzzy candidate that cannot also
+    * match a second mention token (and so could never clear
+    * minimum_should_match) dies at the pair join instead of fanning out
+    * through the single-token posting lists (8M+ rows at bench scale).
+    * Documented recall cut vs the OR path: a multi-token mention with ALL
+    * matched tokens fuzzy (every token typo'd) is not generated. */
+  private def fuzzyPairAgg(mdMulti: DataFrame, expansions: DataFrame,
+                           pairTable: DataFrame, pairDf: DataFrame,
+                           commonDf: Long, idf: DataFrame): DataFrame = {
+    val mentionTok = mdMulti.select(col("mention_norm"), col("mention_tokens"),
+      explode(col("mention_tokens")).as("mtok"))
+    val exp = mentionTok.join(expansions, Seq("mtok"))
+      .select(col("mention_norm"), col("mention_tokens"), col("mtok"),
+        col("token").as("ftok"))
+    val pairs = exp
+      .select(col("mention_norm"), col("mention_tokens"), col("ftok"),
+        explode(array_remove(col("mention_tokens"), col("mtok"))).as("otok"))
+      .filter(col("ftok") =!= col("otok"))
+      .withColumn("pair", when(col("ftok") < col("otok"),
+        concat(col("ftok"), lit("|"), col("otok")))
+        .otherwise(concat(col("otok"), lit("|"), col("ftok"))))
+      // the same common-pair blocking as the exact pair path: a hot pair
+      // ("city|of"-class) would fan a single fuzzy token out to thousands
+      // of name rows that minimum-should-match semantics never needed
+      .join(pairDf.filter(col("df") <= commonDf).select("pair"), Seq("pair"),
+        "left_semi")
+    val hits = pairs.join(pairTable, Seq("pair"))
+      .select(col("mention_norm"), col("mention_tokens"), col("name_row_id"),
+        col("ftok").as("token"))
+      .join(idf, Seq("token"), "left")
+    fuzzyAggregate(hits)
+  }
+
+  /** Fuzzy candidates for SINGLE-token mentions (they only need one
+    * match): the plain expansion → posting join, aggregated. */
+  private def fuzzySingleAgg(md1: DataFrame, expansions: DataFrame,
+                             postings: DataFrame, tokenDf: DataFrame,
+                             commonDf: Long, idf: DataFrame): DataFrame = {
+    val triples = fuzzyPhase2(md1, postings, tokenDf, commonDf, expansions,
+      dedupTriples = false)
+    fuzzyAggregate(triples
+      .join(idf, Seq("token"), "left")
+      .join(md1.select(col("mention_norm"), col("mention_tokens")),
+        Seq("mention_norm")))
   }
 
   /** Candidate rows with match stats + every name-index column.
@@ -413,22 +584,28 @@ object Linker {
                              index: NameIndexTables, cfg: LinkerConfig): DataFrame = {
     val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
 
-    val nRows = index.names.count().toDouble
-    val tokenDf = index.postings.groupBy("token")
-      .agg(count(lit(1)).as("df")).localCheckpoint(eager = false)
+    // index-side stats: precomputed tables when the caller built them at
+    // index time (Pipeline does), else derived here
+    val nRows = index.nameRowCount.getOrElse(index.names.count()).toDouble
+    val tokenDf = index.tokenStats.getOrElse(
+      NameIndex.tokenStats(index.postings).localCheckpoint(eager = false))
     val idf = tokenDf
       .select(col("token"), log(lit(1.0) + lit(nRows) / col("df")).as("idf"))
     val commonDf =
       if (cfg.commonTokenDf > 0) cfg.commonTokenDf
       else math.max(64L, (nRows * 0.005).toLong)
 
-    val fuzzyTriples =
+    val emptyTriples = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "mention_norm string, name_row_id bigint, token string"))
+    // two consumers downstream (candidate union + fuzzy stats) — the
+    // checkpoint materializes the vocab-join DAG once, not twice
+    def fuzzyFor(md: DataFrame): DataFrame =
       if (cfg.fuzzy)
-        fuzzyTokenMatches(mentionsD, index.postings, index.postings3g,
-          tokenDf, commonDf, cfg)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "mention_norm string, name_row_id bigint, token string"))
+        fuzzyTokenMatches(md, index.postings, index.postings3g,
+          tokenDf, commonDf, cfg).localCheckpoint(eager = false)
+      else emptyTriples
 
     val statsF: DataFrame =
       if (!cfg.minShouldMatch) {
@@ -437,8 +614,8 @@ object Linker {
         // exact ∪ fuzzy (in ES every query clause scores, so a token
         // reached both ways counts twice there too)
         val exact = exactTokenMatches(spark, mentionsD, index.postings,
-          tokenDf, commonDf, cfg)
-        val matches = if (cfg.fuzzy) exact.union(fuzzyTriples) else exact
+          tokenDf, commonDf, cfg, index.hotTokens)
+        val matches = if (cfg.fuzzy) exact.union(fuzzyFor(mentionsD)) else exact
         matches
           .join(idf, Seq("token"), "left")
           .groupBy(col("mention_norm"), col("name_row_id"))
@@ -471,44 +648,58 @@ object Linker {
 
         val m1 = mentionsD.filter(size(col("mention_tokens")) === 1)
         val singleCands = exactTokenMatches(spark, m1, index.postings,
-          tokenDf, commonDf, cfg).select(col("mention_norm"), col("name_row_id"))
+          tokenDf, commonDf, cfg, index.hotTokens)
+          .select(col("mention_norm"), col("name_row_id"))
 
-        val cands = pairCands.union(singleCands)
-          .union(fuzzyTriples.select(col("mention_norm"), col("name_row_id")))
+        // two-pass retrieval (cfg.fuzzyFallbackOnly): the fuzzy expansion
+        // only runs for mentions whose exact/pair generation found nothing
+        val baseCands = pairCands.union(singleCands)
+        val emptyAgg = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "mention_norm string, name_row_id bigint, n_f bigint, idf_f double"))
+        val fuzzAgg =
+          (if (!cfg.fuzzy) emptyAgg
+           else {
+             val mdF =
+               if (!cfg.fuzzyFallbackOnly) mentionsD
+               else mentionsD.join(baseCands.select("mention_norm").distinct(),
+                 Seq("mention_norm"), "left_anti")
+             val exps = fuzzyExpansions(mdF, index.postings3g, tokenDf, cfg)
+               .localCheckpoint(eager = false) // shared by both shapes
+             if (cfg.fuzzyPairGen)
+               fuzzyPairAgg(mdF.filter(size(col("mention_tokens")) >= 2),
+                   exps, pairTable, pairDf, commonDf, idf)
+                 .unionByName(fuzzySingleAgg(
+                   mdF.filter(size(col("mention_tokens")) === 1),
+                   exps, index.postings, tokenDf, commonDf, idf))
+             else fuzzySingleAgg(mdF, exps, index.postings, tokenDf, commonDf, idf)
+           }).localCheckpoint(eager = false) // consumed by cands AND stats join
+
+        val cands = baseCands
+          .union(fuzzAgg.select(col("mention_norm"), col("name_row_id")))
           .distinct()
 
         // stats from the token-set intersection (+ fuzzy-only tokens).
         // idf per matched token comes from a per-NAME-ROW token→idf map
-        // (built once at vocabulary scale), so the per-candidate work is a
-        // pure array fold — no explode / join / groupBy over candidates.
-        val namesIdf = index.names
-          .select(col("name_row_id"), explode(col("name_tokens")).as("token"))
-          .join(idf, Seq("token"), "left")
-          .groupBy("name_row_id")
-          .agg(map_from_entries(collect_list(
-            struct(col("token"), coalesce(col("idf"), lit(0.0))))).as("idf_map"))
+        // (built once at vocabulary scale — precomputed at index time when
+        // available), so the per-candidate work is a pure array fold — no
+        // explode / join / groupBy over candidates. The map's KEY SET is
+        // exactly the name's token set, so one join serves both.
+        val namesIdf = index.idfMaps.getOrElse(
+          NameIndex.idfMaps(index.names, tokenDf, nRows.toLong))
         val withSets = cands
-          .join(index.names.select(col("name_row_id"), col("name_tokens")),
-            Seq("name_row_id"))
           .join(namesIdf, Seq("name_row_id"))
           .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
             Seq("mention_norm"))
-          .withColumn("shared", array_intersect(col("mention_tokens"), col("name_tokens")))
+          .withColumn("shared",
+            array_intersect(col("mention_tokens"), map_keys(col("idf_map"))))
           .withColumn("n_ex", size(col("shared")).cast("long"))
           .withColumn("idf_ex", aggregate(col("shared"), lit(0.0),
             (acc, t) => acc + coalesce(element_at(col("idf_map"), t), lit(0.0))))
-        val fuzzStats = fuzzyTriples
-          .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
-            Seq("mention_norm"))
-          .filter(!array_contains(col("mention_tokens"), col("token")))
-          .join(idf, Seq("token"), "left")
-          .groupBy(col("mention_norm"), col("name_row_id"))
-          .agg(count(lit(1)).as("n_f"),
-            sum(coalesce(col("idf"), lit(0.0))).as("idf_f"))
-
         withSets.select(col("mention_norm"), col("name_row_id"),
             col("n_ex"), col("idf_ex"), size(col("mention_tokens")).as("m_ntok"))
-          .join(fuzzStats, Seq("mention_norm", "name_row_id"), "left")
+          .join(fuzzAgg, Seq("mention_norm", "name_row_id"), "left")
           .select(col("mention_norm"), col("name_row_id"),
             (col("n_ex") + coalesce(col("n_f"), lit(0L))).as("matched_tokens"),
             (col("idf_ex") + coalesce(col("idf_f"), lit(0.0))).as("idf_sum"),
@@ -647,9 +838,19 @@ object Linker {
   *                      (`lookup_retriever.py:262-285,397-401`); absent ⇒
   *                      names fall back to the QIDs themselves.
   * @param maxPopularity index max popularity (A1 scalar) for
-  *                      normalize_score=false denormalization. */
+  *                      normalize_score=false denormalization.
+  * @param tokenStats    optional precomputed (token, df) —
+  *                      NameIndex.tokenStats; absent ⇒ derived per run.
+  * @param idfMaps       optional precomputed (name_row_id, idf_map) —
+  *                      NameIndex.idfMaps; absent ⇒ derived per run.
+  * @param nameRowCount  optional precomputed names row count (skips the
+  *                      per-run count job). */
 case class NameIndexTables(names: DataFrame, postings: DataFrame,
                            postings3g: DataFrame,
                            postingsPair: Option[DataFrame] = None,
                            typeNames: Option[DataFrame] = None,
-                           maxPopularity: Option[Double] = None)
+                           maxPopularity: Option[Double] = None,
+                           tokenStats: Option[DataFrame] = None,
+                           idfMaps: Option[DataFrame] = None,
+                           nameRowCount: Option[Long] = None,
+                           hotTokens: Option[Set[String]] = None)

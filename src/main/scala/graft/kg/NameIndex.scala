@@ -26,10 +26,14 @@ import graft.core.Text
   * original case is that of (labels before aliases, then lexicographically
   * smallest language) rather than dict-insertion order.
   *
-  * Scale notes: `names` is written bucketed by `id` for the ids-fetch join
-  * (J4) and `postings` bucketed by `token` so repeated candidate-gen runs
-  * shuffle only the mention side; popularity max (A1/A2) is a partial+final
-  * agg producing one scalar, broadcast into the projection.
+  * Scale notes: in this sandbox the stage tables are plain Parquet (no
+  * persistent metastore, so `bucketBy`/`saveAsTable` bucket metadata would
+  * not survive a session) and every linking run re-shuffles the index side
+  * once; the cluster-scale design is Iceberg tables bucketed by
+  * `token`/`id` so repeated runs shuffle only the mention side. Popularity
+  * max (A1/A2) is a partial+final agg producing one scalar, broadcast into
+  * the projection. Derived stats (tokenStats, idfMaps, hot tokens) are
+  * precomputable at build time so linking runs carry no index-side work.
   */
 object NameIndex {
 
@@ -151,6 +155,29 @@ object NameIndex {
       .otherwise(flatten(transform(sequence(lit(0), size(tokens) - 2), i =>
         transform(slice(tokens, i + 2, size(tokens) - i - 1),
           t => concat(element_at(tokens, i + 1), lit("|"), t)))))
+
+  /** Token document frequencies (token, df) — the blocking/idf statistic
+    * of the index, precomputable at index-build time so linking runs skip
+    * the postings aggregation (it is pure index-side work). */
+  def tokenStats(postingsDf: DataFrame): DataFrame =
+    postingsDf.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Per-name-row token→idf maps (name_row_id, idf_map) — built once at
+    * vocabulary scale so per-candidate scoring in the linking DAG is a
+    * pure array fold over the map, with no explode/join/groupBy over
+    * candidates and no index-side work per run.
+    * idf(t) = ln(1 + N/df(t)), N = name-row count. */
+  def idfMaps(namesDf: DataFrame, tokenStatsDf: DataFrame,
+              nameRows: Long): DataFrame = {
+    val idf = tokenStatsDf.select(col("token"),
+      log(lit(1.0) + lit(nameRows.toDouble) / col("df")).as("idf"))
+    namesDf
+      .select(col("name_row_id"), explode(col("name_tokens")).as("token"))
+      .join(idf, Seq("token"), "left")
+      .groupBy("name_row_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("token"), coalesce(col("idf"), lit(0.0))))).as("idf_map"))
+  }
 
   /** Token-PAIR posting list (pair, name_row_id) — the candidate-blocking
     * index for multi-token mentions: a candidate that shares ≥2 tokens

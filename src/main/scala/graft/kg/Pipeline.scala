@@ -2,7 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 /** The end-to-end KG-construction pipeline (SURVEY.md §7.1) with
   * per-stage committed outputs, per-partition lineage rows, and
@@ -10,12 +10,21 @@ import java.nio.file.{Files, Paths}
   * JSON-checkpoint scheme (S10, `extract_type_hierarchy.py:72-115`).
   *
   * Every stage writes `workDir/<stage>/` as Parquet; a stage whose
-  * `_SUCCESS` marker already exists is NOT recomputed on resume (restart
-  * = skip committed stages, exactly once per stage). Lineage: one row per
-  * output partition per stage in `workDir/_lineage/` —
+  * `_COMMITTED` marker already exists is NOT recomputed on resume
+  * (restart = skip committed stages, exactly once per stage). The marker
+  * is a separate file written AFTER the lineage rows — a crash between
+  * the parquet write and the lineage write leaves the stage uncommitted
+  * and it recomputes, so a committed stage always has lineage. Markers
+  * are resolved through the Hadoop FileSystem API, so HDFS/S3 workDirs
+  * resume correctly, not only local paths. Lineage: one row per output
+  * partition per stage in `workDir/_lineage/` —
   * (stage, part_id, output_rows, checksum, wall_ms) — checksum is an
   * order-insensitive per-partition XOR of row hashes, so a re-run can be
-  * audited partition-by-partition.
+  * audited partition-by-partition. Lineage + marker are written OFF the
+  * critical path (async): downstream stages consume the parquet as soon
+  * as it lands, and the run only joins the commit futures at the end —
+  * at small corpus sizes this removes ~2 jobs per stage from the
+  * parallelism-independent latency floor.
   *
   * Scale shape: stage boundaries are exactly the places a 1000-executor
   * run needs a durable shuffle barrier (dump parse → closure → index →
@@ -42,31 +51,6 @@ object Pipeline {
             minShouldMatch = true),
           minLinkScore: Double = 1.2): StageOutputs = {
 
-    def committed(stage: String): Boolean =
-      Files.exists(Paths.get(s"$workDir/$stage/_SUCCESS"))
-
-    def stage(name: String)(compute: => DataFrame): DataFrame = {
-      val path = s"$workDir/$name"
-      if (!committed(name)) {
-        val t0 = System.nanoTime()
-        val df = compute
-        df.write.mode("overwrite").parquet(path)
-        val wallMs = (System.nanoTime() - t0) / 1000000L
-        val out = spark.read.parquet(path)
-        val lineage = out
-          .groupBy(spark_partition_id().as("part_id"))
-          .agg(count(lit(1)).as("output_rows"),
-            bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
-          .withColumn("wall_ms", lit(wallMs))
-          .select("part_id", "output_rows", "checksum", "wall_ms")
-        // one partition dir per stage (hive-style, `stage` recovered as a
-        // partition column on read) — stages commit lineage CONCURRENTLY,
-        // and appends to a shared path would race on _temporary
-        lineage.write.mode("overwrite").parquet(s"$workDir/_lineage/stage=$name")
-      }
-      spark.read.parquet(path)
-    }
-
     // Independent stage chains run CONCURRENTLY (Spark schedules jobs from
     // multiple driver threads freely): the document side (extract+detect),
     // the literals table and canonicalization overlap the KG chain, and
@@ -75,6 +59,39 @@ object Pipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+
+    val hadoopFs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(stage: String): Boolean =
+      hadoopFs.exists(new Path(s"$workDir/$stage/_COMMITTED"))
+    val commitFutures = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
+
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val path = s"$workDir/$name"
+      if (!committed(name)) {
+        val t0 = System.nanoTime()
+        val df = compute
+        df.write.mode("overwrite").parquet(path)
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        // lineage + marker async: the parquet is durable and immediately
+        // consumable; a crash before the marker ⇒ the stage recomputes on
+        // resume, so a committed stage ALWAYS has lineage.
+        commitFutures.add(Future {
+          val out = spark.read.parquet(path)
+          val lineage = out
+            .groupBy(spark_partition_id().as("part_id"))
+            .agg(count(lit(1)).as("output_rows"),
+              bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
+            .withColumn("wall_ms", lit(wallMs))
+            .select("part_id", "output_rows", "checksum", "wall_ms")
+          // one partition dir per stage (hive-style, `stage` recovered as a
+          // partition column on read) — stages commit lineage CONCURRENTLY,
+          // and appends to a shared path would race on _temporary
+          lineage.write.mode("overwrite").parquet(s"$workDir/_lineage/stage=$name")
+          hadoopFs.create(new Path(s"$path/_COMMITTED"), true).close()
+        })
+      }
+      spark.read.parquet(path)
+    }
 
     val parsed = ParseEntities.parse(dumpLines)
     val claims = ParseEntities.claims(parsed)
@@ -106,12 +123,29 @@ object Pipeline {
         NerSeeds.geoSeeds(spark, closure), NerSeeds.orgSeeds(spark, closure))
     }
     val names = stage("names") { NameIndex.names(items) }
+    val fNameRows = Future { names.count() } // overlaps the posting builds
     val fPostings = Future { stage("postings") { NameIndex.postings(names) } }
     val fPostings3g = Future { stage("postings3g") { NameIndex.postings3g(names) } }
     val fPostingsPair = Future { stage("postings_pair") { NameIndex.postingsPair(names) } }
+    // index-side stats materialized eagerly in memory, CONCURRENTLY with
+    // mention extraction — pure KG work that would otherwise sit on the
+    // linking DAG's critical path. Not stage-committed: both derive from
+    // committed tables in one cheap job each, so resume just recomputes.
+    val fTokenStats = fPostings.map(p =>
+      NameIndex.tokenStats(p).localCheckpoint(eager = true))
+    val fIdfMaps = for (ts <- fTokenStats; n <- fNameRows) yield
+      NameIndex.idfMaps(names, ts, n).localCheckpoint(eager = true)
+    val fHotTokens = fTokenStats.map { ts =>
+      import spark.implicits._
+      ts.filter(col("df") >= cfg.hotTokenDf).select("token").as[String].collect().toSet
+    }
     val postings = Await.result(fPostings, Duration.Inf)
     val postings3g = Await.result(fPostings3g, Duration.Inf)
     val postingsPair = Await.result(fPostingsPair, Duration.Inf)
+    val tokenStats = Await.result(fTokenStats, Duration.Inf)
+    val idfMaps = Await.result(fIdfMaps, Duration.Inf)
+    val nameRows = Await.result(fNameRows, Duration.Inf)
+    val hotTokens = Await.result(fHotTokens, Duration.Inf)
     val mentions = Await.result(fMentions, Duration.Inf)
     val literals = Await.result(fLiterals, Duration.Inf)
 
@@ -122,7 +156,9 @@ object Pipeline {
         .filter(col("name").isNotNull)
       Linker.linkTop1(spark, mentions,
         NameIndexTables(names, postings, postings3g, Some(postingsPair),
-          Some(typeNames), Some(NameIndex.maxPopularity(items))),
+          Some(typeNames), Some(NameIndex.maxPopularity(items)),
+          tokenStats = Some(tokenStats), idfMaps = Some(idfMaps),
+          nameRowCount = Some(nameRows), hotTokens = Some(hotTokens)),
         cfg, minLinkScore)
     }
 
@@ -138,6 +174,10 @@ object Pipeline {
         Triples.canonicalize(objects, canon, "subj"), canon, "obj")
       Triples.extract(pageLinks, canonObjects)
     }
+
+    // join the async lineage/marker commits before returning — the run is
+    // only "complete" when every stage is durably committed
+    commitFutures.forEach(f => Await.result(f, Duration.Inf))
 
     StageOutputs(items, objects, literals, closure, names, postings,
       postings3g, mentions, links, canon, pageLinks, triples)

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.kg._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: A/B timing of the linkTop1 DAG over a committed bench work
+  * dir. args: workDir [cores]. */
+object ProfileLinks2 {
+  def main(args: Array[String]): Unit = {
+    val work = args(0)
+    val cores = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUF", (4 * cores).toString))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("GRAFT_COAL", "false"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(n: String) = spark.read.parquet(s"$work/$n")
+    val names = rd("names"); val postings = rd("postings")
+    val postings3g = rd("postings3g"); val postingsPair = rd("postings_pair")
+    val mentions = rd("mentions")
+
+    val cfg = LinkerConfig(limit = 32, fuzzy = true, cutByRelevance = true,
+      computeAmbiguity = false, minShouldMatch = true)
+
+    val ts = NameIndex.tokenStats(postings).localCheckpoint(eager = true)
+    val nRows = names.count()
+    val idfm = NameIndex.idfMaps(names, ts, nRows).localCheckpoint(eager = true)
+    val index = NameIndexTables(names, postings, postings3g, Some(postingsPair),
+      tokenStats = Some(ts), idfMaps = Some(idfm), nameRowCount = Some(nRows),
+      hotTokens = Some(Set.empty))
+
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    val nTasks = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          taskTime.addAndGet(te.taskMetrics.executorRunTime)
+          gcTime.addAndGet(te.taskMetrics.jvmGCTime)
+          nTasks.incrementAndGet()
+        }
+    })
+    def metrics(label: String, wall: Double): Unit = {
+      println(f"[plinks] $label wall=$wall%.1f taskSec=${taskTime.get() / 1000.0}%.1f " +
+        f"gcSec=${gcTime.get() / 1000.0}%.1f tasks=${nTasks.get()} " +
+        f"par=${taskTime.get() / 1000.0 / wall}%.2f")
+      taskTime.set(0); gcTime.set(0); nTasks.set(0)
+    }
+
+    for (variant <- Seq("pairgen", "singlegen", "pairgen2", "singlegen2")) {
+      val c2 = cfg.copy(fuzzyPairGen = variant.startsWith("pair"))
+      val t0 = System.nanoTime()
+      val n = Linker.linkTop1(spark, mentions, index, c2, 1.2).count()
+      metrics(variant, (System.nanoTime() - t0) / 1e9)
+      println("  links = " + n)
+    }
+    spark.stop()
+  }
+}
