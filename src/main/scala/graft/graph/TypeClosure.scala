@@ -35,13 +35,14 @@ object TypeClosure {
     *        shuffle-job latency per 2 hierarchy levels, which dominates
     *        when the type graph is small (a KG type hierarchy is ~10³-10⁴
     *        edges even for full Wikidata-scale item counts). The driver
-    *        bound is on EDGES; callers whose closures can blow up
-    *        quadratically (long chains) should lower it. Identical output
-    *        semantics on both paths.
+    *        bound is on EDGES; the closure itself can be O(edges × depth)
+    *        rows (deep chains), so callers with pathological chain-shaped
+    *        hierarchies should lower it. Identical output semantics on
+    *        both paths.
     * @return closure (child, ancestor) — all pairs child →* ancestor,
     *         excluding the trivial (x, x) unless present as an edge. */
   def closure(edges: DataFrame, maxIters: Int = 64,
-              maxDriverEdges: Long = 4096L): DataFrame = {
+              maxDriverEdges: Long = 32768L): DataFrame = {
     val spark = edges.sparkSession
     val eDistinct = edges.select(col("child").as("e_child"), col("parent").as("e_parent"))
       .distinct()

@@ -80,4 +80,14 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf(out)
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
+
+  test("triple extraction plan: endpoint semi-joins guard the pair product") {
+    val links = Seq(("p1", "Q1"), ("p1", "Q2"), ("p1", "Q9"))
+      .toDF("url", "qid")
+    val kg = Seq(("Q1", "P17", "Q2")).toDF("subj", "pred", "obj")
+    val plan = planOf(Triples.extract(links, kg))
+    assert(plan.contains("LeftSemi"),
+      s"endpoint semi-joins missing before the per-page pair join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
 }
