@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the tokenizer primitives (SURVEY.md
+  * §4.4: "custom expressions, perf-only") — each replaces a chain of 4-7
+  * interpreted higher-order-function expressions with ONE generated call
+  * into a static helper, so the surrounding whole-stage-codegen span stays
+  * intact and the per-row work is a single tight JVM loop.
+  *
+  * Semantics are BIT-IDENTICAL to the Column-expression definitions in
+  * `core/Text` / `ops/TextStats` (property-tested in TextSetExprsSpec over
+  * random unicode input):
+  *  - clean_str = lower(trim(regexp_replace(s, "\\s+", " "))) — Java regex
+  *    \s is exactly {TAB, LF, VT, FF, CR, SPACE}, all single UTF-8 bytes,
+  *    so the collapse runs byte-level; trim strips 0x20 only (StringTrim);
+  *    lower is UTF8String.toLowerCase (the Lower expression's own impl);
+  *  - n-gram windows step CODE POINTS (UTF8String.substring), matching
+  *    the substring/length Column semantics;
+  *  - ordering is UTF8String's binary comparison — exactly array_sort's.
+  */
+object TextSetHelper {
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** regexp_replace(s, "\\s+", " ") → trim → toLowerCase, byte-level. */
+  def cleanStr(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0; var o = 0
+    while (i < bytes.length) {
+      if (isWs(bytes(i))) {
+        out(o) = 0x20; o += 1
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+      } else { out(o) = bytes(i); o += 1; i += 1 }
+    }
+    // trim ASCII space only (StringTrim semantics)
+    var lo = 0; var hi = o
+    while (lo < hi && out(lo) == 0x20) lo += 1
+    while (hi > lo && out(hi - 1) == 0x20) hi -= 1
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, lo, hi)).toLowerCase
+  }
+
+  private def splitTokens(cleaned: UTF8String): Array[UTF8String] =
+    if (cleaned.numBytes() == 0) Array.empty
+    else cleaned.split(UTF8String.fromString(" "), -1)
+
+  private def sortedDistinct(set: java.util.TreeSet[UTF8String]): ArrayData = {
+    val arr = new Array[Any](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Text.tokenSet: sorted distinct whitespace tokens of clean_str. */
+  def tokenSet(s: UTF8String): ArrayData = {
+    val set = new java.util.TreeSet[UTF8String]()
+    splitTokens(cleanStr(s)).foreach(set.add)
+    sortedDistinct(set)
+  }
+
+  /** Text.ngramSet: sorted distinct char n-grams over all tokens
+    * (token shorter than n ⇒ the token itself). */
+  def ngramSet(s: UTF8String, n: Int): ArrayData = {
+    val set = new java.util.TreeSet[UTF8String]()
+    splitTokens(cleanStr(s)).foreach { t =>
+      val len = t.numChars()
+      if (len < n) set.add(t)
+      else {
+        var i = 0
+        while (i <= len - n) { set.add(t.substring(i, i + n)); i += 1 }
+      }
+    }
+    sortedDistinct(set)
+  }
+
+  /** TextStats.shingles: sorted distinct word n-shingles (fewer than n
+    * tokens ⇒ one shingle = the whole cleaned string, even when empty). */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(cleanStr(s))
+    val set = new java.util.TreeSet[UTF8String]()
+    if (toks.length < n) {
+      set.add(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+    } else {
+      var i = 0
+      while (i + n <= toks.length) {
+        set.add(UTF8String.concatWs(UTF8String.fromString(" "),
+          toks.slice(i, i + n): _*))
+        i += 1
+      }
+    }
+    sortedDistinct(set)
+  }
+}
+
+abstract class TextSetExpr extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** fully-qualified static call the generated code emits */
+  protected def helperCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => helperCall(c))
+}
+
+case class TokenSetExpr(child: Expression) extends TextSetExpr {
+  override protected def nullSafeEval(input: Any): Any =
+    TextSetHelper.tokenSet(input.asInstanceOf[UTF8String])
+  override protected def helperCall(c: String): String =
+    s"graft.functions.TextSetHelper.tokenSet($c)"
+  override protected def withNewChildInternal(newChild: Expression): TokenSetExpr =
+    copy(child = newChild)
+}
+
+case class NgramSetExpr(child: Expression, n: Int) extends TextSetExpr {
+  override protected def nullSafeEval(input: Any): Any =
+    TextSetHelper.ngramSet(input.asInstanceOf[UTF8String], n)
+  override protected def helperCall(c: String): String =
+    s"graft.functions.TextSetHelper.ngramSet($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): NgramSetExpr =
+    copy(child = newChild)
+}
+
+case class ShinglesExpr(child: Expression, n: Int) extends TextSetExpr {
+  override protected def nullSafeEval(input: Any): Any =
+    TextSetHelper.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def helperCall(c: String): String =
+    s"graft.functions.TextSetHelper.shingles($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object TextSetExprs {
+  def tokenSet(c: Column): Column =
+    GraftExpressionBridge.column(TokenSetExpr(GraftExpressionBridge.expression(c)))
+  def ngramSet(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(NgramSetExpr(GraftExpressionBridge.expression(c), n))
+  def shingles(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(ShinglesExpr(GraftExpressionBridge.expression(c), n))
+}

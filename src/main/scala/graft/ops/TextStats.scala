@@ -76,12 +76,9 @@ object TextStats {
   def fingerprint(text: Column): Column = md5(Text.cleanStr(text))
 
   /** Word n-gram shingles (distinct, sorted) — the unit for near-dup
-    * detection (MinHash / Jaccard). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = Text.tokens(text)
-    val grams = when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    array_sort(array_distinct(grams))
-  }
+    * detection (MinHash / Jaccard). Native Catalyst expression
+    * (TextSetExprs); bit-equivalence with the column formulation is
+    * property-tested in TextSetExprsSpec. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextSetExprs.shingles(text, n)
 }
