@@ -251,6 +251,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_winnow" -> ((s, dir) => {
+      // winnowing fingerprints (MOSS): k=3-word shingles, window w=4 —
+      // md5-based so the DuckDB oracle reproduces the exact values
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextStats.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // ---- dedup ops ----
     "q_dedup_exact" -> ((s, dir) => {
       // planted exact duplicates (doc_id+1000000) so the check is non-trivial
@@ -822,6 +831,23 @@ object SparkEntry {
 
     "q_fingerprint" ->
       s"SELECT doc_id, md5(${cleanSql("text")}) AS fp FROM documents ORDER BY doc_id",
+
+    "q_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+                       FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)] END AS s
+                 FROM tok),
+          hs AS (SELECT doc_id, [md5(x) for x in s] AS h FROM sh),
+          wins AS (SELECT doc_id,
+                     CASE WHEN len(h) < 4 THEN [list_min(h)]
+                          ELSE [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
+                     END AS w
+                   FROM hs)
+          SELECT doc_id, unnest(list_sort(list_distinct(w))) AS fp
+          FROM wins ORDER BY doc_id, fp""",
 
     "q_dedup_exact" ->
       s"""WITH d2 AS (

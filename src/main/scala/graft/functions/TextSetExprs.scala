@@ -81,6 +81,43 @@ object TextSetHelper {
     sortedDistinct(set)
   }
 
+  /** TextStats.winnowFingerprints: positional k-shingles → md5 hex →
+    * sliding-window (w) minima → sorted distinct. Single pass with a
+    * monotonic deque for the window minima — the Column formulation
+    * re-evaluates the hash array per window (O(n²·k)). md5 hex matches
+    * Spark's `md5` (and DuckDB's) byte-for-byte. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = splitTokens(cleanStr(s))
+    val space = UTF8String.fromString(" ")
+    val shingles: Array[UTF8String] =
+      if (toks.length < k) Array(UTF8String.concatWs(space, toks: _*))
+      else Array.tabulate(toks.length - k + 1)(i =>
+        UTF8String.concatWs(space, toks.slice(i, i + k): _*))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = shingles.map { sh =>
+      md.reset()
+      val d = md.digest(sh.getBytes)
+      val hex = new StringBuilder(32)
+      d.foreach(b => hex.append(f"${b & 0xff}%02x"))
+      UTF8String.fromString(hex.toString)
+    }
+    val set = new java.util.TreeSet[UTF8String]()
+    if (hs.length < w) set.add(hs.reduce((a, b) => if (a.compareTo(b) <= 0) a else b))
+    else {
+      // monotonic deque of indices, increasing hash values
+      val dq = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < hs.length) {
+        while (!dq.isEmpty && hs(dq.peekLast).compareTo(hs(i)) >= 0) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst <= i - w) dq.pollFirst()
+        if (i >= w - 1) set.add(hs(dq.peekFirst))
+        i += 1
+      }
+    }
+    sortedDistinct(set)
+  }
+
   /** TextStats.shingles: sorted distinct word n-shingles (fewer than n
     * tokens ⇒ one shingle = the whole cleaned string, even when empty). */
   def shingles(s: UTF8String, n: Int): ArrayData = {
@@ -126,6 +163,15 @@ case class NgramSetExpr(child: Expression, n: Int) extends TextSetExpr {
     copy(child = newChild)
 }
 
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends TextSetExpr {
+  override protected def nullSafeEval(input: Any): Any =
+    TextSetHelper.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def helperCall(c: String): String =
+    s"graft.functions.TextSetHelper.winnow($c, $k, $w)"
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int) extends TextSetExpr {
   override protected def nullSafeEval(input: Any): Any =
     TextSetHelper.shingles(input.asInstanceOf[UTF8String], n)
@@ -142,4 +188,6 @@ object TextSetExprs {
     GraftExpressionBridge.column(NgramSetExpr(GraftExpressionBridge.expression(c), n))
   def shingles(c: Column, n: Int): Column =
     GraftExpressionBridge.column(ShinglesExpr(GraftExpressionBridge.expression(c), n))
+  def winnow(c: Column, k: Int, w: Int): Column =
+    GraftExpressionBridge.column(WinnowExpr(GraftExpressionBridge.expression(c), k, w))
 }

@@ -81,4 +81,28 @@ object TextStats {
     * property-tested in TextSetExprsSpec. */
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.TextSetExprs.shingles(text, n)
+
+  /** POSITIONAL word n-gram shingles (ordered, duplicates kept) — the
+    * input winnowing needs (window positions matter). */
+  def positionalShingles(text: Column, n: Int): Column = {
+    val toks = Text.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm, public): hash every k-word shingle, slide a
+    * window of w consecutive hashes, keep each window's minimum — any two
+    * documents sharing a run of ≥ k+w−1 words are GUARANTEED to share a
+    * fingerprint, while only ~2/(w+1) of hashes are kept. Output: sorted
+    * distinct fingerprint set. md5 is the rolling unit so the exact same
+    * computation is SQL-expressible for the DuckDB oracle (md5 is md5 in
+    * every engine — no engine-defined hashing, full hash-match gate).
+    * Texts shorter than one window contribute their global minimum.
+    * Scale: pure per-row map work; dedup/clustering on the fingerprints
+    * is then an exact groupBy like Dedup.exact. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.TextSetExprs.winnow(text, k, w)
 }

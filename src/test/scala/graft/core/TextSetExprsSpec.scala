@@ -59,7 +59,31 @@ class TextSetExprsSpec extends SparkSpec {
         s"input=${r.get(0)} native=${r.get(1)} ref=${r.get(2)}").mkString("; "))
     }
 
+  private def winnowCol(c: org.apache.spark.sql.Column, k: Int, w: Int) = {
+    val toks = tokensCol(c)
+    val sh = when(size(toks) < k, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val hs = transform(sh, s => md5(s))
+    val wins = when(size(hs) < w, array(array_min(hs))).otherwise(
+      transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+    array_sort(array_distinct(wins))
+  }
+
   check("tokenSet", TextSetExprs.tokenSet, tokenSetCol)
+  check("winnow(3,4)", c => TextSetExprs.winnow(c, 3, 4), c => winnowCol(c, 3, 4))
+  check("winnow(2,3)", c => TextSetExprs.winnow(c, 2, 3), c => winnowCol(c, 2, 3))
+
+  test("winnowing guarantee: docs sharing a run of >= k+w-1 words share a fingerprint") {
+    val shared = "quick brown foxes jump over lazy dogs today" // 8 words >= 3+4-1
+    val a = s"prefix words here $shared and then something else"
+    val b = s"totally different opening $shared closing remarks differ"
+    val df = Seq(a, b).toDF("s")
+      .select(TextSetExprs.winnow(col("s"), 3, 4).as("fp"))
+    val Array(fa, fb) = df.collect().map(_.getSeq[String](0).toSet)
+    assert(fa.intersect(fb).nonEmpty)
+  }
   check("ngramSet(3)", c => TextSetExprs.ngramSet(c, 3), c => ngramSetCol(c, 3))
   check("ngramSet(2)", c => TextSetExprs.ngramSet(c, 2), c => ngramSetCol(c, 2))
   check("shingles(3)", c => TextSetExprs.shingles(c, 3), c => shinglesCol(c, 3))
