@@ -313,6 +313,16 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF-Flat coarse quantization; engine-defined centroids ⇒ rows-only
+      // oracle (recall vs brute force asserted in AnnSpec)
+      val embs = t(s, dir, "embeddings")
+      Ann.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+          nCentroids = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed ANN, multi-table; engine-defined hyperplanes ⇒
       // rows-only oracle (recall vs brute force asserted in AnnSpec).

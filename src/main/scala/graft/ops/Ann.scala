@@ -124,6 +124,95 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic centroids are
+    * drawn from the corpus itself (the nCentroids vectors with the
+    * smallest xxhash64(id) — a uniform pseudo-random sample that needs no
+    * RNG and is stable across runs and cluster sizes), refined with
+    * `iters` Lloyd steps. Returns (centroid_id, centroid) — small enough
+    * to broadcast; at 100 TB the assignment pass is one broadcast map
+    * stage over the corpus. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val e = ensureParallelism(corpus).select(col(idCol).as("id"),
+      unitVector(col(vecCol).cast("array<double>")).as("u"))
+      .localCheckpoint(eager = false)
+    // orderBy+limit plans as a distributed TakeOrdered (no global
+    // single-partition sort); the window numbering then runs over the
+    // nCentroids-row result only
+    val seeds = e.select(col("id"), col("u"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h"), col("id")).limit(nCentroids)
+    val wSeed = Window.orderBy(col("h"), col("id"))
+    var cents = seeds.withColumn("r", row_number().over(wSeed))
+      .select((col("r") - 1).as("centroid_id"), col("u").as("centroid"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(e, cents)
+      // elementwise mean via dimension explode — partial aggregation keeps
+      // the shuffle at (nCentroids × dim) rows regardless of corpus size
+      cents = assigned
+        .join(e, Seq("id"))
+        .select(col("centroid_id"), posexplode(col("u")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim").as("d"), col("m").as("m")))),
+          e2 => e2.getField("m")).as("centroid"))
+        .withColumn("centroid", unitVector(col("centroid")))
+        .localCheckpoint(eager = false)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, argmax dot). */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = e.crossJoin(broadcast(cents))
+      .withColumn("score", dot(col("u"), col("centroid")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("centroid_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: corpus vectors are inverted-indexed by their nearest
+    * centroid; each query probes its nProbe closest centroid lists and
+    * ranks exactly inside them. The standard coarse-quantization scale
+    * path (FAISS-style IVF-Flat — public): the corpus-side pass is one
+    * broadcast assignment, the query join touches corpus/nCentroids ×
+    * nProbe rows. Recall vs brute force measured in AnnSpec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val c = ensureParallelism(corpus).select(col(idCol).as("n_id"),
+      unitVector(col(vecCol).cast("array<double>")).as("n_u"))
+      .localCheckpoint(eager = false)
+    val cAssigned = assignToCentroids(
+      c.select(col("n_id").as("id"), col("n_u").as("u")), cents)
+      .select(col("id").as("n_id"), col("centroid_id"))
+      .join(c, Seq("n_id"))
+    val q = queries.select(col(idCol).as("q_id"),
+      unitVector(col(vecCol).cast("array<double>")).as("q_u"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val qProbes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", dot(col("q_u"), col("centroid")))
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("q_u"), col("centroid_id"))
+    val joined = qProbes.join(cAssigned, Seq("centroid_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_u"), col("n_u")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Bucketed ANN top-k: exact ranking inside the union of shared LSH
     * buckets across nTables tables. Trades recall for a shuffle keyed on
     * bucket instead of a cross join; at 100 TB the bucket join is the only

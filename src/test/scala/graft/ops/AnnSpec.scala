@@ -49,6 +49,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.95, s"cosine-LSH recall $recall < 0.95 (${lsh.size}/${exact.size})")
   }
 
+  test("ivfTopK: top-1 recall >= 0.9 vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(embs, queries, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(embs, queries, k = 1, nCentroids = 8, nProbe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivfTopK top-1 recall $recall < 0.9")
+  }
+
+  test("ivfCentroids: deterministic across invocations, unit-norm") {
+    val c1 = Ann.ivfCentroids(embs, 8).orderBy("centroid_id")
+      .as[(Int, Seq[Double])].collect()
+    val c2 = Ann.ivfCentroids(embs, 8).orderBy("centroid_id")
+      .as[(Int, Seq[Double])].collect()
+    assert(c1.toSeq == c2.toSeq)
+    c1.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("lshTopK: top-1 recall >= 0.9 vs brute force") {
     val queries = embs.filter(col("vec_id") < 20)
     val brute = Ann.bruteForceTopK(embs, queries, k = 1)
