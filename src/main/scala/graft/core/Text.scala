@@ -88,14 +88,17 @@ object Text {
   /** BoW token set: cleaned tokens, alphanumeric-only, stopwords removed,
     * sorted distinct — `bow_retriever.py:30-38`. */
   def bowTokens(c: Column): Column = {
-    // punctuation → token boundaries first (≈ NLTK word_tokenize splitting
-    // "car!" into ["car","!"]); apostrophes stay INSIDE tokens at the
-    // split ("don't" is one NLTK token) but the strict alnum filter then
-    // drops any token carrying one — the reference's isalnum() check
-    // (`bow_retriever.py:30-38`) means possessives/contractions never
-    // reach a reference BoW, so they must not reach ours either.
-    val alnum = filter(tokens(regexp_replace(lower(c), "[^a-z0-9']+", " ")),
-      t => t.rlike("^[a-z0-9]+$"))
+    // punctuation AND apostrophes → token boundaries (≈ NLTK
+    // word_tokenize + isalnum): the Penn Treebank tokenizer splits
+    // possessives/contractions ("world's" → ["world","'s"], "don't" →
+    // ["do","n't"]) and the reference's isalnum() check then drops the
+    // apostrophe-carrying part — so the stem ("world") survives. Treating
+    // the apostrophe as a boundary reproduces that: "world's" → "world"
+    // + "s" (stopword), "don't" → "don" + "t" (both stopwords). Known
+    // divergence: "o'brien"-class names (one PTB token, dropped by the
+    // reference's isalnum) here yield "brien" — rarer than possessives,
+    // accepted.
+    val alnum = tokens(regexp_replace(lower(c), "[^a-z0-9]+", " "))
     array_sort(array_distinct(array_except(alnum, lit(EnglishStopwords.toArray))))
   }
 

@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   *  - `re.IGNORECASE` is realized with the `(?i)` inline flag, supported
   *    identically by java.util.regex (Spark) and RE2 (DuckDB).
   *
-  * The pattern strings are RE2∩java.util.regex-compatible (no lookaround,
-  * no inline flags), so the exact same strings drive both the Spark Column
-  * expression and the generated DuckDB oracle SQL — structurally
-  * impossible for the two sides to drift.
+  * The pattern strings are RE2∩java.util.regex-compatible (no lookaround;
+  * `(?i)` is the only inline flag, prepended by classify/classifySql), so
+  * the exact same strings drive both the Spark Column expression and the
+  * generated DuckDB oracle SQL — structurally impossible for the two
+  * sides to drift.
+  *
+  * Known engine divergence from CPython (documented, not patched): Python
+  * `re` is Unicode-aware, so `\d` matches non-ASCII decimal digits (e.g.
+  * Arabic-Indic '١٩٩٧' classifies INTEGER/DATE in the reference), while
+  * java.util.regex and RE2 `\d` are ASCII-only — such inputs classify
+  * STRING here, on BOTH sides of the oracle. Adding `(?U)` on the Spark
+  * side alone would break the Spark↔DuckDB string-identity invariant
+  * (RE2 has no `(?U)`), so ASCII semantics are kept.
   */
 object Literals {
 

@@ -9,7 +9,12 @@ import org.apache.spark.sql.types._
   * the distributed path. */
 private[graph] object GraphDriverPath {
   def orderingFor(dt: DataType): Option[Ordering[Any]] = dt match {
-    case StringType => Some(Ordering.by((a: Any) => a.asInstanceOf[String]))
+    // Spark's StringType ordering is UTF8String's byte comparison (=
+    // code-POINT order); java.lang.String compares UTF-16 code UNITS,
+    // which diverges for supplementary-plane characters — wrap in
+    // UTF8String so the driver path picks the same min label.
+    case StringType => Some(Ordering.by((a: Any) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])))
     case LongType | IntegerType | ShortType | ByteType =>
       Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue()))
     case DoubleType | FloatType =>

@@ -309,9 +309,16 @@ object Linker {
         org.apache.spark.sql.types.StructType.fromDDL("mtok string, token string")))
     }
 
+    // POSITIONAL grams on the mention side (no distinct): the q-gram lower
+    // bound |shared grams| ≥ max(|a|,|b|) − 2 − 3·d holds for MULTISET
+    // intersections; tokens with repeated grams ("aaaaaaaaaa") share few
+    // DISTINCT grams and a distinct-count filter wrongly prunes them.
+    // With mention-side multiplicity kept and the (distinct) vocab side,
+    // the join count is Σ_g cnt_m(g)·1{g∈v} ≥ Σ_g min(cnt_m, cnt_v) =
+    // |multiset ∩| ≥ bound for every true pair — a valid (weaker) prune;
+    // the exact levenshtein re-check below restores precision.
     val mgrams = mvocab
       .select(col("mtok"), explode(Text.tokenNgrams(col("mtok"), 3)).as("gram"))
-      .distinct()
 
     // prune ultra-common grams (bounded fan-out; documented cap)
     val gramDf = postings3g.groupBy("gram").count()
@@ -322,7 +329,7 @@ object Linker {
     val gramPairs = mgrams.join(p3, Seq("gram"))
       .groupBy(col("mtok"), col("token"))
       .agg(count(lit(1)).as("shared_grams"))
-      // |shared 3-grams| ≥ max(|a|,|b|) − 2 − 3·d is necessary for lev ≤ d
+      // multiset q-gram bound, necessary for lev ≤ d (see mgrams note)
       .filter(col("shared_grams") >=
         greatest(length(col("mtok")), length(col("token"))) - lit(2) - lit(3) * d)
       .select("mtok", "token")
@@ -492,8 +499,11 @@ object Linker {
       import spark.implicits._
       // ---- forced-candidate fetch (`_check_ids`:348-395): one en,
       // non-alias index row per requested id (the per-id limit=1 query),
-      // deterministic pick = smallest name_clean ----
-      val forcedIds = broadcast(cfg.ids.distinct.toDF("id"))
+      // deterministic pick = smallest name_clean. req_pos = the id's
+      // position in cfg.ids — the reference appends fetched candidates in
+      // the caller's requested order (`lookup_retriever.py:364-395`
+      // iterates ids_list), so rank continues in that order, not id order.
+      val forcedIds = broadcast(cfg.ids.distinct.zipWithIndex.toDF("id", "req_pos"))
       val w1 = Window.partitionBy(col("id")).orderBy(col("name_clean"))
       val oneRow = index.names
         .filter(!col("is_alias") && array_contains(col("languages"), "en"))
@@ -508,7 +518,7 @@ object Linker {
       val missing = mentionsD.crossJoin(forcedIds)
         .join(main.select("mention_norm", "id"), Seq("mention_norm", "id"), "left_anti")
 
-      val wForced = Window.partitionBy(col("mention_norm")).orderBy(col("id"))
+      val wForced = Window.partitionBy(col("mention_norm")).orderBy(col("req_pos"))
       val fetched = missing.join(oneRow, Seq("id"))
         .join(perMention, Seq("mention_norm"), "left")
         .select(

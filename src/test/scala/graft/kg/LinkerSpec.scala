@@ -222,6 +222,53 @@ class LinkerSpec extends SparkSpec {
     assert(found.contains(("thxonx", "Q2")), s"got $found")
   }
 
+  test("forced ids append in REQUESTED order, not id order") {
+    val absent = items
+      .filter(!lower(col("labels")("en")).contains("springfield") &&
+        col("kind") === "entity")
+      .select("entity").as[String].take(2).toSeq
+    // request in descending-id order — ranks must follow the request
+    val req = absent.sorted.reverse
+    val out = Linker.lookup(spark, mentionsOf("Springfield"), index,
+      LinkerConfig(limit = 50, ids = req)).cache()
+    val forcedRows = out.filter(col("id").isin(req: _*))
+      .select("id", "rank").as[(String, Int)].collect().sortBy(_._2)
+    assert(forcedRows.map(_._1).toSeq == req,
+      s"ranks should follow requested order $req, got ${forcedRows.toSeq}")
+  }
+
+  test("fuzzy gram prune keeps repeat-gram pairs (driver ≡ distributed)") {
+    // 'aaaaaaaaaa' vs 'aaaaaaaaab': lev=1, d=2, but only ONE distinct
+    // shared 3-gram — a distinct-gram count would wrongly prune it; the
+    // positional (multiset) bound keeps it. Verified on BOTH phase-1
+    // paths: the in-driver SymSpell and the distributed gram+delete join.
+    val mini = Seq(
+      ("Q1", Map("en" -> "aaaaaaaaaa"), "repeats"),
+      ("Q2", Map("en" -> "bbbbbbcccc"), "control")
+    ).toDF("entity", "labels", "description")
+      .withColumn("aliases", typedLit(Map.empty[String, Seq[String]]))
+      .withColumn("ner_types", typedLit(Seq.empty[String]))
+      .withColumn("p31", typedLit(Seq.empty[String]))
+      .withColumn("p279", typedLit(Seq.empty[String]))
+      .withColumn("explicit_types", typedLit(Seq.empty[String]))
+      .withColumn("extended_types", typedLit(Seq.empty[String]))
+      .withColumn("kind", lit("entity"))
+      .withColumn("popularity", lit(1))
+    val nm = NameIndex.names(mini)
+    val p3 = NameIndex.postings3g(nm)
+    val tokenDf = NameIndex.tokenStats(NameIndex.postings(nm))
+    val md = Linker.distinctMentions(mentionsOf("aaaaaaaaab", "bbbbbbccxc"))
+    val cfg = LinkerConfig(fuzzy = true)
+    def exps(driverMax: Long) =
+      Linker.fuzzyExpansions(md, p3, tokenDf, cfg, vocabDriverMax = driverMax)
+        .select("mtok", "token").as[(String, String)].collect().toSet
+    val driver = exps(20000L)
+    val dist = exps(0L) // vocab count > 0 forces the distributed path
+    assert(driver.contains(("aaaaaaaaab", "aaaaaaaaaa")), s"driver: $driver")
+    assert(dist.contains(("aaaaaaaaab", "aaaaaaaaaa")), s"distributed: $dist")
+    assert(driver == dist, s"paths diverge: $driver vs $dist")
+  }
+
   test("salting path yields identical candidates to the unsalted join") {
     val base = Linker.lookup(spark, mentionsOf("Alderton", "Springfield"), index,
       LinkerConfig(limit = 100, hotTokenDf = Long.MaxValue))

@@ -77,6 +77,16 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("bow_score") - 1.0 / 3.0) < 1e-9)
   }
 
+  test("bow: possessives keep the stem (PTB contraction split approximation)") {
+    // NLTK word_tokenize splits "world's" → ["world", "'s"]; the
+    // reference's isalnum filter then keeps "world". Apostrophe-as-
+    // boundary reproduces that; "don't" → don/t (both stopwords) → gone.
+    import graft.core.Text
+    val out = Seq("the world's don't Zanzibar").toDF("s")
+      .select(Text.bowTokens(col("s")).as("b")).as[Seq[String]].head()
+    assert(out == Seq("world", "zanzibar"), s"got $out")
+  }
+
   test("summary: top-k predicates by count, asc and desc (A13)") {
     val desc5 = Retrieval.summary(objects, 5).as[(String, Long)].collect()
     assert(desc5.length == 5)
