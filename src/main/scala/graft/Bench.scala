@@ -6,31 +6,33 @@ import org.apache.spark.sql.SparkSession
   *
   *  1. driver-gate queries timed at local[SPARK_GRAFT_CPUS] on
   *     SPARK_GRAFT_SF_DIR (headline `value` = total seconds, as the driver
-  *     expects);
+  *     expects). The gate session uses DEFAULT shuffle sizing (32
+  *     partitions, AQE coalescing on): the pipeline tuning (4×cores, no
+  *     coalescing) is scoped to the pipeline legs only — it serialized
+  *     nothing there but ran KB-scale gate shuffles with 128 tasks in r2.
   *  2. KG-pipeline scaling evidence (north rule: ≥0.8 throughput scaling
-  *     efficiency from N to 4N executors, realized in this sandbox as two
-  *     local[N] levels on the same pre-generated corpus — per driver
-  *     instructions): pages/sec + triples/sec per leg and
-  *     efficiency = (thr_high/thr_low) / (cores_high/cores_low).
-  *     Legs via SPARK_GRAFT_BENCH_CORES (default "1,4"); see BASELINE.md
-  *     for the measured efficiency-vs-corpus-size table (0.76 at 1→4
-  *     cores on 768k pages; latency-floor decomposition there).
+  *     efficiency from N to 4N executors, realized in this sandbox as the
+  *     same job at two parallelism levels on the same pre-generated
+  *     corpus — per driver instructions): pages/sec + triples/sec per leg
+  *     and efficiency = (thr_high/thr_low) / (cores_high/cores_low).
   *
-  * Corpus size via SPARK_GRAFT_BENCH_PAGES (default 384000 pages; KG
-  * capped at 32k entities — fixed-KG production shape).
+  * Each pipeline leg runs in a FRESH JVM pinned with `taskset -c` to
+  * exactly `cores` CPUs and `-XX:ActiveProcessorCount=cores` — the
+  * faithful stand-in for a cluster of that size (see [[BenchLeg]] for
+  * why; the in-process fallback is only used if forking fails).
+  * Legs via SPARK_GRAFT_BENCH_CORES (default "1,4"); corpus size via
+  * SPARK_GRAFT_BENCH_PAGES (default 384000 pages; KG capped at 32k
+  * entities — fixed-KG production shape). SPARK_GRAFT_BENCH_REPEATS > 1
+  * repeats every leg and keeps each leg's best wall time (defeats the
+  * ±20-30% cross-invocation machine drift documented in BASELINE.md).
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def gateSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      // 4× cores with AQE partition-coalescing OFF: the pipeline's many
-      // mid-size shuffles otherwise coalesce to 1-2 post-shuffle
-      // partitions and serialize whole stages (measured: links-stage
-      // parallelism 2.5→3.3 of 4 with this setting)
-      .config("spark.sql.shuffle.partitions", 4 * cpus)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .appName(s"graft-bench-gates-$cpus")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -49,6 +51,54 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** JDK17 module opens Spark needs outside spark-submit — passed to the
+    * forked leg JVMs (mirrors build.sbt's jdk17AddOpens). */
+  private val Jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork one pinned leg JVM; returns (triples, sec) from its JSON line,
+    * or None if the fork could not run (missing taskset, bad classpath). */
+  private def forkLeg(pagesPath: String, dumpPath: String, workDir: String,
+                      cores: Int): Option[(Long, Double)] = {
+    val javaHome = System.getProperty("java.home")
+    val cp = System.getProperty("java.class.path")
+    if (cp == null || !cp.contains("classes")) return None
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd: Seq[String] =
+      Seq("taskset", "-c", s"0-${cores - 1}", s"$javaHome/bin/java",
+        s"-XX:ActiveProcessorCount=$cores", s"-Xmx$heap",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      Jdk17AddOpens ++ Seq("-cp", cp, "graft.BenchLeg",
+        pagesPath, dumpPath, workDir, cores.toString)
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val line = out.linesIterator.toSeq.reverse.find(_.startsWith("{\"cores\""))
+      if (rc != 0 || line.isEmpty) {
+        System.err.println(s"[bench] forked leg cores=$cores rc=$rc; out=$out")
+        return None
+      }
+      val re = """"sec":([0-9.]+),"triples":(\d+)""".r
+      re.findFirstMatchIn(line.get).map(m =>
+        (m.group(2).toLong, m.group(1).toDouble))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] fork failed (${e.getMessage}); " +
+          "falling back to in-process leg")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -61,16 +111,20 @@ object Bench {
     // corpus — coupling entities to pages would also grow candidates-per-
     // mention linearly, making the bench artificially quadratic
     val nEntities = math.min(32000, math.max(400, nPages / 6))
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
     val benchRoot = s"/tmp/graft-bench-${ProcessHandle.current().pid()}"
 
-    // ---- 1. driver-gate queries ----
-    var spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+    // ---- 1. driver-gate queries (SKIP_GATES: dev-only fast iteration
+    //      on the pipeline legs; the driver never sets it) ----
+    val spark = gateSession(cpus)
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_GATES")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (_, sec) = timed {
+          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        }
+        name -> sec
       }
-      name -> sec
-    }
     val total = results.map(_._2).sum
 
     // ---- 2. pipeline corpus, generated once ----
@@ -82,20 +136,27 @@ object Bench {
       .write.mode("overwrite").parquet(dumpPath)
     spark.stop()
 
-    // ---- 3. pipeline at two parallelism levels ----
+    // ---- 3. pipeline at two parallelism levels, fresh pinned JVM each ----
     case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
                    triplesPerSec: Double, triples: Long)
     val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    val legs = legCores.map { cores =>
-      val s = session(cores)
-      val work = s"$benchRoot/work-$cores"
-      val (nTriples, sec) = timed {
-        val out = graft.kg.Pipeline.run(s,
-          s.read.parquet(pagesPath), s.read.parquet(dumpPath), work)
-        out.triples.count()
+    def runOnce(cores: Int, rep: Int): (Long, Double) = {
+      val work = s"$benchRoot/work-$cores-$rep"
+      val r = forkLeg(pagesPath, dumpPath, work, cores).getOrElse {
+        val s = BenchLeg.pipelineSession(cores)
+        val res = BenchLeg.runLeg(s, pagesPath, dumpPath, work)
+        s.stop()
+        res
       }
-      s.stop()
+      // stage outputs are per-leg scratch; drop them so repeats can't
+      // resume from markers and multi-leg runs don't fill /tmp
+      scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+      r
+    }
+    val legs = legCores.map { cores =>
+      val runs = (1 to repeats).map(rep => runOnce(cores, rep))
+      val (nTriples, sec) = runs.minBy(_._2)
       Leg(cores, sec, nPages / sec, nTriples / sec, nTriples)
     }
     val eff = (legs.last.triplesPerSec / legs.head.triplesPerSec) /

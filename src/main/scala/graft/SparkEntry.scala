@@ -277,15 +277,20 @@ object SparkEntry {
     }),
 
     "q_minhash_pairs" -> ((s, dir) => {
-      // MinHash-LSH near-dup; engine-defined hashing ⇒ rows-only oracle.
+      // MinHash-LSH near-dup. md5-based signatures + value-string band
+      // buckets ⇒ DuckDB reproduces the exact candidate set and the
+      // verified pairs — FULL hash oracle (the winnow/embed_lsh pattern).
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numPerms = 32, bands = 16, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_simhash_pairs" -> ((s, dir) => {
-      // SimHash near-dup; engine-defined hashing ⇒ rows-only oracle.
+      // SimHash near-dup. md5-based 60-bit signatures + exact-recall Manku
+      // blocking (pigeonhole) ⇒ the output equals the brute-force
+      // hamming≤3 pair set, which DuckDB computes — FULL hash oracle.
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -883,6 +888,62 @@ object SparkEntry {
           SELECT id_a, id_b, round(j, 6) AS jaccard
           FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
     },
+
+    // md5-based MinHash (SigHelper): per-shingle h = first 40 md5 bits,
+    // perm i value = (A[i]·h + B[i]) mod 2^40, band bucket = the band's
+    // value string — every step is plain 64-bit arithmetic DuckDB
+    // reproduces exactly, so this is a FULL oracle of the LSH pair set.
+    "q_minhash_pairs" -> {
+      val n = 32; val bands = 16; val rows = n / bands
+      val aL = graft.functions.SigHelper.permA(n).mkString("[", ",", "]")
+      val bL = graft.functions.SigHelper.permB(n).mkString("[", ",", "]")
+      s"""WITH tok AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+                       FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                            for i in range(1, len(toks)-1)]) END AS s
+                 FROM tok),
+          hs AS (SELECT doc_id, s,
+                   [('0x' || substr(md5(x),1,10))::BIGINT for x in s] AS h
+                 FROM sh WHERE len(s) > 0),
+          sig AS (SELECT doc_id, s,
+                    [list_min([($aL[i] * x + $bL[i]) % ${graft.functions.SigHelper.Mod40}
+                               for x in h]) for i in range(1, ${n + 1})] AS g
+                  FROM hs),
+          bnd AS (SELECT doc_id, s,
+                    [CAST(b AS VARCHAR) || ':' ||
+                     array_to_string(g[b*$rows+1 : b*$rows+$rows], ',')
+                     for b in range(0, $bands)] AS bk
+                  FROM sig),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))) AS j
+                    FROM bnd a JOIN bnd b
+                      ON a.doc_id < b.doc_id
+                     AND len(list_intersect(a.bk, b.bk)) > 0)
+          SELECT id_a, id_b, round(j, 6) AS jaccard
+          FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
+    },
+
+    // md5-based 60-bit SimHash; Manku blocking has exact recall at
+    // hamming ≤ 3, so the brute-force hamming join IS the operator's
+    // output — FULL oracle.
+    "q_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, ${tokSetSql("text")} AS t FROM documents),
+          hs AS (SELECT doc_id,
+                   [('0x' || substr(md5(x),1,15))::BIGINT for x in t] AS h
+                 FROM tok),
+          sig AS (SELECT doc_id,
+                    CAST(list_sum([CASE WHEN 2 * len([x for x in h if (x >> b) & 1 = 1]) > len(h)
+                                        THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                                   for b in range(0, 60)]) AS BIGINT) AS g
+                  FROM hs)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.g, b.g)) AS BIGINT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.g, b.g)) <= 3
+          ORDER BY id_a, id_b""",
 
     "q_embed_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -137,6 +137,103 @@ object TextSetHelper {
   }
 }
 
+/** md5-based signature primitives (MinHash / SimHash) — the hash unit is
+  * CHOSEN to be engine-neutral, exactly like [[TextSetHelper.winnow]]: a
+  * signature derived from md5 hex prefixes is bit-reproducible in DuckDB
+  * SQL (`('0x'||substr(md5(x),1,K))::BIGINT`), so the LSH gate queries get
+  * FULL hash oracles instead of rows-only checks, while the per-row cost
+  * stays ONE md5 per element + a few long multiplications.
+  *
+  * MinHash: h = first 40 md5 bits; perm i value = (Aᵢ·h + Bᵢ) mod 2⁴⁰
+  * (universal-hash family; Aᵢ < 2²² odd so Aᵢ·h + Bᵢ < 2⁶² never
+  * overflows a signed 64-bit lane in EITHER engine); signature =
+  * per-perm minima over the element set.
+  *
+  * SimHash: h = first 60 md5 bits (60, not 64: 15 hex chars keep the
+  * value positive in a BIGINT on both engines); bit b of the signature is
+  * set iff a strict majority of element hashes have bit b set. 60 splits
+  * evenly into 4/5/6/10/12 Manku blocks.
+  */
+object SigHelper {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  val Mod40: Long = 1L << 40
+
+  /** splitmix64 finalizer — deterministic perm-constant derivation. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** Aᵢ: odd, < 2²² (so Aᵢ·h < 2⁶² for 40-bit h). */
+  def permA(n: Int): Array[Long] =
+    Array.tabulate(n)(i => (mix(i.toLong) & ((1L << 22) - 1)) | 1L)
+  /** Bᵢ: < 2⁴⁰. */
+  def permB(n: Int): Array[Long] =
+    Array.tabulate(n)(i => mix(i.toLong + 1000L) & (Mod40 - 1))
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def perms(n: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(n, k => (permA(k), permB(k)))
+
+  /** First 40 bits of md5(s) = ('0x'||substr(md5(s),1,10))::BIGINT. */
+  def md5Bits40(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+
+  /** First 60 bits of md5(s) = ('0x'||substr(md5(s),1,15))::BIGINT. */
+  def md5Bits60(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  def minhash(arr: ArrayData, numPerms: Int): ArrayData = {
+    val (a, b) = perms(numPerms)
+    val sig = Array.fill[Long](numPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Bits40(arr.getUTF8String(i))
+      var j = 0
+      while (j < numPerms) {
+        val v = (a(j) * h + b(j)) % Mod40
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash60(arr: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Bits60(arr.getUTF8String(i))
+      var b = 0
+      while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) > n) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
 abstract class TextSetExpr extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   /** fully-qualified static call the generated code emits */
@@ -181,6 +278,29 @@ case class ShinglesExpr(child: Expression, n: Int) extends TextSetExpr {
     copy(child = newChild)
 }
 
+/** array<string> → array<long> MinHash signature (see [[SigHelper]]). */
+case class MinHashExpr(child: Expression, numPerms: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    SigHelper.minhash(input.asInstanceOf[ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigHelper.minhash($c, $numPerms)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+/** array<string> → 60-bit SimHash signature (see [[SigHelper]]). */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any =
+    SigHelper.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigHelper.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object TextSetExprs {
   def tokenSet(c: Column): Column =
     GraftExpressionBridge.column(TokenSetExpr(GraftExpressionBridge.expression(c)))
@@ -190,4 +310,8 @@ object TextSetExprs {
     GraftExpressionBridge.column(ShinglesExpr(GraftExpressionBridge.expression(c), n))
   def winnow(c: Column, k: Int, w: Int): Column =
     GraftExpressionBridge.column(WinnowExpr(GraftExpressionBridge.expression(c), k, w))
+  def minhash(c: Column, numPerms: Int): Column =
+    GraftExpressionBridge.column(MinHashExpr(GraftExpressionBridge.expression(c), numPerms))
+  def simhash60(c: Column): Column =
+    GraftExpressionBridge.column(SimHashExpr(GraftExpressionBridge.expression(c)))
 }

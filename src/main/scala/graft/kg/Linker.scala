@@ -644,8 +644,11 @@ object Linker {
         val mN = mentionsD.filter(size(col("mention_tokens")) >= 2)
         val mentionPairs = mN.select(col("mention_norm"),
           explode(NameIndex.tokenPairs(col("mention_tokens"))).as("pair"))
-        // pair-df blocking with the same all-common fallback as tokens
-        val pairDf = pairTable.groupBy("pair").agg(count(lit(1)).as("df"))
+        // pair-df blocking with the same all-common fallback as tokens;
+        // precomputed at index time when available (NameIndex.pairStats) —
+        // re-aggregating the pair table (the LARGEST index table) here
+        // would put a full index-side shuffle on every linking run
+        val pairDf = index.pairStats.getOrElse(NameIndex.pairStats(pairTable))
         val wM = Window.partitionBy(col("mention_norm"))
         val mpKept = mentionPairs
           .join(pairDf, Seq("pair"), "left")
@@ -851,6 +854,8 @@ object Linker {
   *                      normalize_score=false denormalization.
   * @param tokenStats    optional precomputed (token, df) —
   *                      NameIndex.tokenStats; absent ⇒ derived per run.
+  * @param pairStats     optional precomputed (pair, df) —
+  *                      NameIndex.pairStats; absent ⇒ derived per run.
   * @param idfMaps       optional precomputed (name_row_id, idf_map) —
   *                      NameIndex.idfMaps; absent ⇒ derived per run.
   * @param nameRowCount  optional precomputed names row count (skips the
@@ -861,6 +866,7 @@ case class NameIndexTables(names: DataFrame, postings: DataFrame,
                            typeNames: Option[DataFrame] = None,
                            maxPopularity: Option[Double] = None,
                            tokenStats: Option[DataFrame] = None,
+                           pairStats: Option[DataFrame] = None,
                            idfMaps: Option[DataFrame] = None,
                            nameRowCount: Option[Long] = None,
                            hotTokens: Option[Set[String]] = None)

@@ -189,4 +189,12 @@ object NameIndex {
     namesDf
       .select(col("name_row_id"), explode(tokenPairs(col("name_tokens"))).as("pair"))
       .distinct()
+
+  /** Pair document frequencies (pair, df) — the blocking statistic of the
+    * pair-posting table. Precomputed at index-build time (alongside
+    * tokenStats) so linking runs don't re-aggregate the LARGEST index
+    * table on their critical path — it is pure index-side work that only
+    * changes when the index does. */
+  def pairStats(postingsPairDf: DataFrame): DataFrame =
+    postingsPairDf.groupBy("pair").agg(count(lit(1)).as("df"))
 }

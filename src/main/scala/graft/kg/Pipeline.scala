@@ -133,6 +133,8 @@ object Pipeline {
     // committed tables in one cheap job each, so resume just recomputes.
     val fTokenStats = fPostings.map(p =>
       NameIndex.tokenStats(p).localCheckpoint(eager = true))
+    val fPairStats = fPostingsPair.map(p =>
+      NameIndex.pairStats(p).localCheckpoint(eager = true))
     val fIdfMaps = for (ts <- fTokenStats; n <- fNameRows) yield
       NameIndex.idfMaps(names, ts, n).localCheckpoint(eager = true)
     val fHotTokens = fTokenStats.map { ts =>
@@ -143,6 +145,7 @@ object Pipeline {
     val postings3g = Await.result(fPostings3g, Duration.Inf)
     val postingsPair = Await.result(fPostingsPair, Duration.Inf)
     val tokenStats = Await.result(fTokenStats, Duration.Inf)
+    val pairStats = Await.result(fPairStats, Duration.Inf)
     val idfMaps = Await.result(fIdfMaps, Duration.Inf)
     val nameRows = Await.result(fNameRows, Duration.Inf)
     val hotTokens = Await.result(fHotTokens, Duration.Inf)
@@ -157,7 +160,8 @@ object Pipeline {
       Linker.linkTop1(spark, mentions,
         NameIndexTables(names, postings, postings3g, Some(postingsPair),
           Some(typeNames), Some(NameIndex.maxPopularity(items)),
-          tokenStats = Some(tokenStats), idfMaps = Some(idfMaps),
+          tokenStats = Some(tokenStats), pairStats = Some(pairStats),
+          idfMaps = Some(idfMaps),
           nameRowCount = Some(nameRows), hotTokens = Some(hotTokens)),
         cfg, minLinkScore)
     }

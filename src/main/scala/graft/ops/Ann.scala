@@ -31,6 +31,15 @@ object Ann {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Auto-sizing of hyperplane-bucket granularity from the corpus size:
+    * expected bucket load is n / 2^nBits, so nBits ≈ log2(n) − 10 keeps
+    * ~1024 vectors per bucket (the exact-verification unit) no matter how
+    * big the corpus grows — callers pass nBits=0 to derive it from ONE
+    * cheap count instead of a fixed default that silently degrades into
+    * giant buckets past ~10⁷ vectors. */
+  def lshBitsFor(n: Long): Int =
+    math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - 10)
+
   /** Sum of elementwise products of two equal-length double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -97,8 +106,9 @@ object Ann {
     * thresholds raise nTables / lower nBits (collision probability per
     * bit is 1 − θ/π). maxBucket drops degenerate buckets (skew guard). */
   def lshCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double = 0.95, nBits: Int = 16, nTables: Int = 16,
+                     minCos: Double = 0.95, nBits: Int = 0, nTables: Int = 16,
                      maxBucket: Int = 100000): DataFrame = {
+    val bits = if (nBits > 0) nBits else lshBitsFor(embs.count())
     val e = ensureParallelism(embs)
       .select(col(idCol).as("id"),
         unitVector(col(vecCol).cast("array<double>")).as("u"))
@@ -106,7 +116,7 @@ object Ann {
     // one (table, bucket) key per table per vector; table id mixed into the
     // join key so one shuffle covers all tables
     val keys = array((0 until nTables).map(t =>
-      xxhash64(lit(t), lshBucketFor(col("u"), t, nBits))): _*)
+      xxhash64(lit(t), lshBucketFor(col("u"), t, bits))): _*)
     val keyed = e.select(col("id"), explode(keys).as("bucket"))
       .localCheckpoint(eager = false) // nTables×nBits projections computed once
     val bucketDf = keyed.groupBy("bucket").agg(count(lit(1)).as("df"))
@@ -153,7 +163,6 @@ object Ann {
       // elementwise mean via dimension explode — partial aggregation keeps
       // the shuffle at (nCentroids × dim) rows regardless of corpus size
       cents = assigned
-        .join(e, Seq("id"))
         .select(col("centroid_id"), posexplode(col("u")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
         .agg(avg(col("x")).as("m"))
@@ -167,15 +176,23 @@ object Ann {
     cents
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, argmax dot). */
-  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = e.crossJoin(broadcast(cents))
-      .withColumn("score", dot(col("u"), col("centroid")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("score").desc, col("centroid_id"))
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("id"), col("centroid_id"))
+  /** Nearest-centroid assignment: the centroid table is BOUNDED
+    * (nCentroids), so it is collected to the driver (the hot-token trick)
+    * and embedded in a native argmax expression — the assignment is a
+    * row-local computation inside the corpus scan, with NO join, NO
+    * exchange and NO sort. (The previous crossJoin + Window shape
+    * materialized corpus×nCentroids rows through a shuffle and sorted
+    * them per vector id — a 4096× data blowup at scale for work the
+    * broadcast already made row-local.) Returns e's columns +
+    * `centroid_id`. Ties keep the smallest centroid_id, as the old
+    * window ordering (score desc, centroid_id asc) did. */
+  private[ops] def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("centroid_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    e.withColumn("centroid_id",
+      graft.functions.VectorExprs.nearestCentroid(col("u"),
+        rows.map(_._2), rows.map(_._1)))
   }
 
   /** IVF ANN top-k: corpus vectors are inverted-indexed by their nearest
@@ -194,8 +211,7 @@ object Ann {
       .localCheckpoint(eager = false)
     val cAssigned = assignToCentroids(
       c.select(col("n_id").as("id"), col("n_u").as("u")), cents)
-      .select(col("id").as("n_id"), col("centroid_id"))
-      .join(c, Seq("n_id"))
+      .select(col("id").as("n_id"), col("u").as("n_u"), col("centroid_id"))
     val q = queries.select(col(idCol).as("q_id"),
       unitVector(col(vecCol).cast("array<double>")).as("q_u"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -220,12 +236,13 @@ object Ann {
     * AnnSpec; raise nTables for recall, nBits for bucket granularity. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nBits: Int = 8, nTables: Int = 4): DataFrame = {
+              nBits: Int = 0, nTables: Int = 4): DataFrame = {
+    val bits = if (nBits > 0) nBits else lshBitsFor(corpus.count())
     def keyed(df: DataFrame, side: String) = {
       val e = ensureParallelism(df).select(col(idCol).as(s"${side}_id"),
         unitVector(col(vecCol).cast("array<double>")).as(s"${side}_u"))
       val keys = array((0 until nTables).map(t =>
-        xxhash64(lit(t), lshBucketFor(col(s"${side}_u"), t, nBits))): _*)
+        xxhash64(lit(t), lshBucketFor(col(s"${side}_u"), t, bits))): _*)
       e.select(col(s"${side}_id"), col(s"${side}_u"), explode(keys).as("bucket"))
     }
     val c = keyed(corpus, "n")

@@ -101,25 +101,23 @@ object Dedup {
     verifyJaccard(pruned, sh, minJaccard)
   }
 
-  /** MinHash signature: numPerms permutation-mins over the shingle set, in
-    * ONE fold over the array with ONE string hash per shingle — per-perm
-    * values derive from the 64-bit shingle hash re-mixed with the perm
-    * index (xxhash64(i, h)), not from numPerms re-hashes of the string. */
+  /** MinHash signature: numPerms permutation-mins over the shingle set —
+    * a native codegen expression (functions.MinHashExpr): ONE md5 per
+    * shingle, numPerms long multiply-adds per element in a tight JVM
+    * loop. The hash base is md5 (not xxhash64) BY CHOICE: the signature
+    * is bit-reproducible in DuckDB SQL, so the LSH gate gets a full hash
+    * oracle (the winnow precedent — see SigHelper). */
   def minhashSignature(shingleSet: Column, numPerms: Int): Column =
-    aggregate(
-      shingleSet,
-      array_repeat(lit(Long.MaxValue), lit(numPerms)),
-      (acc, s) => {
-        val h = xxhash64(s)
-        zip_with(acc, sequence(lit(0), lit(numPerms - 1)),
-          (m, i) => least(m, xxhash64(i, h)))
-      })
+    graft.functions.TextSetExprs.minhash(shingleSet, numPerms)
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification. Output = verified pairs (precision 1 by
     * construction; recall governed by bands×rows, tested vs the exact
     * operator in DedupSpec). Buckets over maxBucket docs are dropped
-    * (skew guard). */
+    * (skew guard). Band buckets are the band's VALUE string (band index +
+    * joined perm minima), not a re-hash — candidate sets are then exactly
+    * "pairs agreeing on ≥1 band", with no second-level hash collisions,
+    * which is what lets an external oracle reproduce the output. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numPerms: Int = 32, bands: Int = 16,
                       minJaccard: Double = 0.8,
@@ -132,67 +130,71 @@ object Dedup {
       .localCheckpoint(eager = false)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numPerms))
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
-      .withColumn("bucket", xxhash64(col("band"), col("bandsig").cast("string")))
-      .select(col("id"), col("bucket"))
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat(b.cast("string"), lit(":"),
+          array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            x => x.cast("string")), ","))))
+        .as("bucket"))
     val small = dropFrequentKeys(banded, "bucket", maxBucket)
       .localCheckpoint(eager = false) // signatures computed once, not per join side
     verifyJaccard(selfJoinPairs(small, "bucket").select("id_a", "id_b"), sh, minJaccard)
   }
 
-  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
-
-  /** 64-bit SimHash over token features: bit b of the signature is set iff
-    * a strict majority of token hashes have bit b set. ONE fold over the
-    * token array (one xxhash64 per token, 64 masked adds per element) —
-    * not 64 per-bit aggregates. */
-  def simhash64(tokenSet: Column): Column = {
-    val masks = typedLit(BitMasks)
-    val counts = aggregate(
-      tokenSet,
-      array_repeat(lit(0), lit(64)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, masks,
-          (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1).otherwise(0))
-      })
-    val n = size(tokenSet)
-    aggregate(
-      zip_with(counts, masks, (c, m) => when(c * 2 > n, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 60-bit SimHash over token features: bit b of the signature is set iff
+    * a strict majority of token hashes have bit b set. Native codegen
+    * expression (functions.SimHashExpr): one md5 + 60 bit-adds per token.
+    * 60 bits (not 64) so the value stays positive in a signed BIGINT on
+    * both engines — the signature, and therefore the near-dup pair set,
+    * is reproducible in DuckDB SQL (full hash oracle). */
+  def simhash(tokenSet: Column): Column =
+    graft.functions.TextSetExprs.simhash60(tokenSet)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked
     * Manku-style (permuted-block tables, WWW'07 "Detecting Near-Duplicates
-    * for Web Crawling" — public): the 64-bit signature splits into nBlocks
+    * for Web Crawling" — public): the 60-bit signature splits into nBlocks
     * equal blocks; a pair within Hamming distance d agrees on ≥ nBlocks−d
-    * blocks (pigeonhole), so each doc is keyed once per (nBlocks−d)-subset
-    * of block indices and pairs join on the concatenated block values.
+    * blocks (pigeonhole — recall is EXACT, the blocking drops nothing
+    * within distance d short of the maxBucket skew cap), so each doc is
+    * keyed once per (nBlocks−d)-subset of block indices and pairs join on
+    * the concatenated block values.
     *
-    * Sizing to corpus: the effective key width is (nBlocks−d)·(64/nBlocks)
-    * bits — nBlocks=4, d=3 gives 16-bit keys (fine to ~10⁷ docs);
-    * nBlocks=6, d=3 gives C(6,3)=20 tables of 30-bit keys (10⁹+ docs);
-    * nBlocks=8, d=3 gives C(8,5)=56 tables of 40-bit keys. Residual giant
-    * buckets (constant-ish signatures) are dropped via maxBucket.
+    * Sizing to corpus: the effective key width is (nBlocks−d)·(60/nBlocks)
+    * bits — nBlocks=4, d=3 gives 15-bit keys (fine to ~10⁷ docs);
+    * nBlocks=5, d=3 gives C(5,2)=10 tables of 24-bit keys (~10⁹ docs);
+    * nBlocks=6, d=3 gives C(6,3)=20 tables of 30-bit keys (10⁹+ docs).
+    * Residual giant buckets (constant-ish signatures) are dropped via
+    * maxBucket.
     */
+  /** Auto-sizing of the Manku block count from the corpus size: effective
+    * key width is (nBlocks−3)·(60/nBlocks) bits at d=3, and candidate
+    * volume stays sub-quadratic while 2^width ≳ corpus size —
+    * 15-bit keys (nBlocks=4) hold to ~10⁷ docs, 24-bit (5) to ~10⁹,
+    * 30-bit (6) beyond. Chosen from ONE cheap count when the caller
+    * passes nBlocks=0 instead of silently keeping a default that stops
+    * holding past 10⁷ docs. */
+  def simhashBlocksFor(nDocs: Long): Int =
+    if (nDocs <= 10L * 1000 * 1000) 4
+    else if (nDocs <= 1000L * 1000 * 1000) 5
+    else 6
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, nBlocks: Int = 4,
+                   maxHamming: Int = 3, nBlocks: Int = 0,
                    maxBucket: Int = 10000): DataFrame = {
-    require(nBlocks > maxHamming, "need nBlocks > maxHamming (pigeonhole)")
-    require(64 % nBlocks == 0, "nBlocks must divide 64")
-    val w = 64 / nBlocks
-    val blockMask = if (w == 64) -1L else (1L << w) - 1
+    val blocks = if (nBlocks > 0) nBlocks else simhashBlocksFor(docs.count())
+    require(blocks > maxHamming, "need nBlocks > maxHamming (pigeonhole)")
+    require(60 % blocks == 0, "nBlocks must divide 60")
+    val w = 60 / blocks
+    val blockMask = (1L << w) - 1
     def block(i: Int): Column =
       shiftright(col("sig"), i * w).bitwiseAND(lit(blockMask))
-    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming)
+    val combos = (0 until blocks).combinations(blocks - maxHamming)
       .toSeq.zipWithIndex
     val keys = array(combos.map { case (idxs, cid) =>
       xxhash64((lit(cid) +: idxs.map(block)): _*)
     }: _*)
 
     val sigs = Ann.ensureParallelism(docs).select(col(idCol).as("id"),
-      simhash64(graft.core.Text.tokenSet(col(textCol))).as("sig"))
+      simhash(graft.core.Text.tokenSet(col(textCol))).as("sig"))
     val keyed = sigs.select(col("id"), col("sig"), explode(keys).as("bucket"))
     val small = dropFrequentKeys(keyed, "bucket", maxBucket)
       .localCheckpoint(eager = false) // signatures computed once, not per join side

@@ -38,7 +38,7 @@ object ProfileDedup {
 
     t("simhash full")(println("pairs=" + Dedup.simhashPairs(docs, "doc_id", "text", 3).count()))
     val sigs2 = docs.select(col("doc_id").as("id"),
-      Dedup.simhash64(graft.core.Text.tokenSet(col("text"))).as("sig"))
+      Dedup.simhash(graft.core.Text.tokenSet(col("text"))).as("sig"))
     t("simhash sigs only")(sigs2.select(max(col("sig"))).first())
 
     t("jaccard full")(println("pairs=" + Dedup.jaccardPairs(docs, "doc_id", "text",

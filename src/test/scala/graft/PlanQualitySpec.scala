@@ -81,6 +81,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("precomputed pairStats remove the pair-table re-aggregation from the linking plan") {
+    val names = Seq(("Q1", "garen ashford", "e"), ("Q2", "lina ashford", "e"))
+      .toDF("id", "name_clean", "kind")
+      .withColumn("name_tokens", graft.core.Text.tokenSet(col("name_clean")))
+      .withColumn("name_row_id", monotonically_increasing_id())
+      .withColumn("ner_type", lit("PERS"))
+      .withColumn("explicit_types", typedLit(Seq.empty[String]))
+      .withColumn("extended_types", typedLit(Seq.empty[String]))
+      .withColumn("languages", typedLit(Seq("en")))
+      .withColumn("popularity_norm", lit(0.5))
+      .withColumn("name", col("name_clean"))
+      .withColumn("description", lit(""))
+      .withColumn("types_text", lit(""))
+      .withColumn("ntoken", lit(2)).withColumn("length", lit(10))
+      .withColumn("name_grams", graft.core.Text.ngramSet(col("name_clean"), 3))
+    val dir = Files.createTempDirectory("plan-pair").toString
+    NameIndex.postingsPair(names).write.parquet(s"$dir/pp")
+    val pairTable = spark.read.parquet(s"$dir/pp")
+    val mentions = Seq("garen ashford").toDF("mention_norm")
+    val cfg = LinkerConfig(minShouldMatch = true, cutByRelevance = true,
+      computeAmbiguity = false)
+    def pairScans(pairStats: Option[org.apache.spark.sql.DataFrame]): Int = {
+      val idx = NameIndexTables(names, NameIndex.postings(names),
+        NameIndex.postings3g(names), Some(pairTable), pairStats = pairStats)
+      val plan = planOf(Linker.linkTop1(spark, mentions, idx, cfg, 0.0))
+      s"$dir/pp".r.findAllIn(plan).size
+    }
+    val without = pairScans(None)
+    val precomputed = NameIndex.pairStats(pairTable).localCheckpoint(eager = true)
+    val withStats = pairScans(Some(precomputed))
+    assert(without >= 2, s"expected pairDf agg to scan the pair table again: $without")
+    assert(withStats == 1,
+      s"pair table should be scanned exactly once with precomputed stats: $withStats")
+  }
+
   test("triple extraction plan: endpoint semi-joins guard the pair product") {
     val links = Seq(("p1", "Q1"), ("p1", "Q2"), ("p1", "Q9"))
       .toDF("url", "qid")

@@ -70,6 +70,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("centroid assignment is row-local: no Exchange, no Window in the plan") {
+    val cents = Ann.ivfCentroids(embs, 4)
+    val e = embs.select(col("vec_id").as("id"),
+      Ann.unitVector(col("embedding").cast("array<double>")).as("u"))
+    val plan = Ann.assignToCentroids(e, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not sort/window:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+  }
+
   test("lshTopK: top-1 recall >= 0.9 vs brute force") {
     val queries = embs.filter(col("vec_id") < 20)
     val brute = Ann.bruteForceTopK(embs, queries, k = 1)
