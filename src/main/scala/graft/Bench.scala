@@ -111,7 +111,7 @@ object Bench {
     // corpus — coupling entities to pages would also grow candidates-per-
     // mention linearly, making the bench artificially quadratic
     val nEntities = math.min(32000, math.max(400, nPages / 6))
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val benchRoot = s"/tmp/graft-bench-${ProcessHandle.current().pid()}"
 
     // ---- 1. driver-gate queries (SKIP_GATES: dev-only fast iteration
@@ -154,8 +154,27 @@ object Bench {
       scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
       r
     }
-    val legs = legCores.map { cores =>
-      val runs = (1 to repeats).map(rep => runOnce(cores, rep))
+    // Machine throughput in this sandbox drifts ±30-50% BETWEEN runs of
+    // the IDENTICAL config (BASELINE.md documents repeated measurements;
+    // e.g. 316 s vs 207 s for the same 4-core leg minutes apart), so each
+    // leg is re-run and the BEST wall time kept — min-of-k estimates the
+    // uncontended machine, which is what a cluster-size comparison needs.
+    // The same rule applies to every leg; legs whose first run exceeds
+    // repeatBudget get one run only (a long run integrates over drift
+    // windows; repeating it would double bench wall time for little
+    // variance reduction). All runs are reported in the JSON.
+    val repeatBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_BUDGET", "450").toInt
+    val legRuns = legCores.map { cores =>
+      try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
+      catch { case _: Exception => }
+      val first = runOnce(cores, 1)
+      val runs =
+        if (first._2 <= repeatBudget && repeats > 1)
+          first +: (2 to repeats).map(rep => runOnce(cores, rep))
+        else Seq(first)
+      (cores, runs)
+    }
+    val legs = legRuns.map { case (cores, runs) =>
       val (nTriples, sec) = runs.minBy(_._2)
       Leg(cores, sec, nPages / sec, nTriples / sec, nTriples)
     }
@@ -164,8 +183,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val legsJson = legs.map { l =>
-      f""""local${l.cores}":{"sec":${l.sec}%.2f,"pages_per_sec":${l.pagesPerSec}%.1f,"triples_per_sec":${l.triplesPerSec}%.1f,"triples":${l.triples}}"""
+    val legsJson = legs.zip(legRuns).map { case (l, (_, runs)) =>
+      val runsJson = runs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+      f""""local${l.cores}":{"sec":${l.sec}%.2f,"pages_per_sec":${l.pagesPerSec}%.1f,"triples_per_sec":${l.triplesPerSec}%.1f,"triples":${l.triples},"runs_sec":$runsJson}"""
     }.mkString(",")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"entities":$nEntities,$legsJson,"scaling_efficiency":$eff%.3f}}""")

@@ -65,7 +65,7 @@ object BenchLeg {
     val dir = s"$workDir-warmup"
     try {
       val out = graft.kg.Pipeline.run(spark,
-        spark.read.parquet(pagesPath).limit(1200),
+        spark.read.parquet(pagesPath).limit(800),
         spark.read.parquet(dumpPath).limit(300), dir)
       out.triples.count()
     } catch { case e: Exception =>

@@ -319,21 +319,40 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF-Flat coarse quantization; engine-defined centroids ⇒ rows-only
-      // oracle (recall vs brute force asserted in AnnSpec)
+      // IVF-Flat coarse quantization. The synthetic embeddings are
+      // UNIFORM random vectors — no cluster structure — so no selective
+      // nProbe reaches recall 1.0 and the raw top-k is not brute-force
+      // reproducible. Gate design instead: emit, per query, the
+      // brute-force top-5 boundary scores (fully oracle-verifiable) plus
+      // `recall_ok` = in-query measured IVF recall ≥ 0.4 — the floor the
+      // seeded, deterministic quantizer achieves on these corpora
+      // (tools/CheckRecall: per-query min 0.4 at sf0.01, 0.6 at
+      // sf0.001). A regression in centroid build, assignment, or probe
+      // ranking flips a boolean and hash-fails the gate. Realistic
+      // (clustered) recall ≥ 0.9 is asserted in AnnSpec.
       val embs = t(s, dir, "embeddings")
-      Ann.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-          nCentroids = 16, nProbe = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("q_id"), col("rank"))
+      val qs = embs.filter(col("vec_id") < 8)
+      val ivf = Ann.ivfTopK(embs, qs, k = 5, nCentroids = 16, nProbe = 8)
+      val bf = Ann.bruteForceTopK(embs, qs, k = 5)
+      bf.select(col("q_id"), col("n_id"), col("cos"))
+        .join(ivf.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(max(col("cos")).as("bf_top1"), min(col("cos")).as("bf_top5"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.4).as("recall_ok"))
+        .orderBy(col("q_id"))
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN, multi-table; engine-defined hyperplanes ⇒
-      // rows-only oracle (recall vs brute force asserted in AnnSpec).
+      // LSH-bucketed ANN, multi-table. 1-bit tables ×12 ⇒ per-neighbor
+      // miss probability (1−(1−θ/π))^12 < 1e-5 on this corpus — measured
+      // recall = 1.0, exact rerank inside the bucket union ⇒ the
+      // brute-force SQL is a FULL oracle (the q_embed_lsh pattern). The
+      // selective regime is recall-tested in AnnSpec.
       val embs = t(s, dir, "embeddings")
       Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-          nBits = 4, nTables = 4)
+          nBits = 1, nTables = 12)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -965,6 +984,35 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+         s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+               FROM q, c WHERE n_id <> q_id),
+         r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+               FROM s)
+         SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // q_ann_ivf: the brute-force boundary columns are computed exactly by
+    // DuckDB; recall_ok is the Spark-side measured-recall bound, which
+    // the oracle pins to TRUE — any quantizer/probe regression breaks
+    // the hash match. q_ann_lsh: params sized for measured recall 1.0
+    // (1-bit × 12 tables; exact rerank, deterministic order) ⇒ the
+    // brute-force top-k is a full oracle, exactly as for q_embed_lsh.
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+         s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+               FROM q, c WHERE n_id <> q_id),
+         r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+               FROM s)
+         SELECT q_id, max(cos) AS bf_top1, min(cos) AS bf_top5, true AS recall_ok
+         FROM r WHERE rank <= 5 GROUP BY q_id ORDER BY q_id""",
+
+    "q_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),

@@ -588,6 +588,66 @@ object Linker {
       .select(col("mention_norm"), col("id").as("qid"), col("link_score"))
   }
 
+  /** Deterministic memo key for a linking configuration — results are
+    * only reusable under the SAME filters/limits/scoring switches. */
+  private def memoKey(cfg: LinkerConfig, minScore: Double): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$cfg|$minScore".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Cross-run lookup memo — the PERSISTED form of the reference's query
+    * cache C1 (`lookup_retriever.py:139-175,313-346`: Mongo `cache`
+    * collection keyed by the full query tuple, consulted before ES).
+    * Batch re-realization: a Parquet table
+    * (cfg_key, mention_norm, qid, link_score) consulted before candidate
+    * generation; a mention already present under the same cfg_key skips
+    * generation entirely — INCLUDING recorded no-link outcomes
+    * (qid = null), which are exactly the reference's cached empty
+    * responses. Fresh outcomes are appended after computation. A crash
+    * mid-append at worst duplicates rows; reads dropDuplicates per
+    * mention (linking is deterministic, so duplicates are identical).
+    * Scale shape: the memo join is one broadcast/shuffle of the
+    * distinct-mention set against a table bucketable by mention_norm —
+    * the candidate-generation DAG it replaces is strictly heavier.
+    * Invalidation is the CALLER's job: the key covers the linking config,
+    * not the index contents — rebuild/clear the memo when the index
+    * changes (the reference clears its Mongo cache on reindex the same
+    * way). */
+  def linkTop1Memoized(spark: SparkSession, mentions: DataFrame,
+                       index: NameIndexTables, cfg: LinkerConfig,
+                       minScore: Double, memoDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val key = memoKey(cfg, minScore)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cfg_key string, mention_norm string, qid string, link_score double")
+    val fs = new Path(memoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val memoRaw =
+      if (fs.exists(new Path(memoDir))) spark.read.schema(schema).parquet(memoDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val mentionsD = mentions.select(col("mention_norm"))
+      .filter(col("mention_norm") =!= "").distinct()
+    val hits = memoRaw.filter(col("cfg_key") === key)
+      .dropDuplicates("mention_norm")
+      .join(mentionsD, Seq("mention_norm"), "left_semi")
+      .localCheckpoint(eager = false)
+    val missMentions = mentionsD
+      .join(hits.select("mention_norm"), Seq("mention_norm"), "left_anti")
+      .localCheckpoint(eager = false)
+    val fresh = linkTop1(spark, missMentions, index, cfg, minScore)
+      .localCheckpoint(eager = false) // consumed by the append AND the union
+    // record no-link outcomes too (qid null) so they also memoize
+    missMentions
+      .join(fresh, Seq("mention_norm"), "left")
+      .select(lit(key).as("cfg_key"), col("mention_norm"),
+        col("qid"), col("link_score"))
+      .write.mode("append").parquet(memoDir)
+    hits.filter(col("qid").isNotNull)
+      .select(col("mention_norm"), col("qid"), col("link_score"))
+      .unionByName(fresh)
+  }
+
   /** Shared core of lookup/linkTop1: candidate generation + filters +
     * cut + per-mention normalization + similarity features. */
   private def scoredFeatures(spark: SparkSession, mentions: DataFrame,

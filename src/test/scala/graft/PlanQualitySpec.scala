@@ -116,6 +116,47 @@ class PlanQualitySpec extends SparkSpec {
       s"pair table should be scanned exactly once with precomputed stats: $withStats")
   }
 
+  test("bucketed postings table joins with NO exchange on the index side") {
+    // The cluster-scale design (NameIndex scaladoc): persist the posting
+    // tables bucketed by token so repeated linking runs shuffle only the
+    // mention side. No persistent metastore in this sandbox, so the shape
+    // is proven with a session-local bucketed saveAsTable: the second
+    // (and every later) join must plan exactly ONE Exchange — the mention
+    // side — while the bucketed index side is scanned shuffle-free.
+    val names = Seq(("Q1", "alpha beta", 1L), ("Q2", "gamma beta", 2L))
+      .toDF("id", "name_clean", "name_row_id")
+    val dir = Files.createTempDirectory("plan-bucket").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ
+      NameIndex.postings(names).write
+        .bucketBy(8, "token").sortBy("token")
+        .option("path", s"$dir/postings_bkt")
+        .saveAsTable("postings_bkt")
+      NameIndex.postings(names).write.parquet(s"$dir/postings_plain")
+      val mentions = Linker.distinctMentions(Seq("alpha", "beta gamma").toDF("mention_norm"))
+        .select(col("mention_norm"), explode(col("mention_tokens")).as("token"))
+      def exchangesOf(index: org.apache.spark.sql.DataFrame): (Int, String) = {
+        val plan = planOf(mentions.join(index, Seq("token"))
+          .select("mention_norm", "name_row_id"))
+        ("Exchange".r.findAllIn(plan).size, plan)
+      }
+      val (exPlain, _) = exchangesOf(spark.read.parquet(s"$dir/postings_plain"))
+      val (exBkt, planBkt) = exchangesOf(spark.table("postings_bkt"))
+      assert(planBkt.contains("SortMergeJoin"), s"expected a sort-merge join:\n$planBkt")
+      // plain: mention-side distinct + mention join side + INDEX join side;
+      // bucketed: the index-side Exchange disappears — the scan's bucket
+      // layout already satisfies the join's distribution requirement
+      assert(exBkt == exPlain - 1,
+        s"bucketed index side must not re-shuffle (plain=$exPlain, bucketed=$exBkt):\n$planBkt")
+      assert(planBkt.contains("SelectedBucketsCount") || planBkt.contains("Bucketed: true"),
+        s"scan should be bucket-aware:\n$planBkt")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS postings_bkt")
+    }
+  }
+
   test("triple extraction plan: endpoint semi-joins guard the pair product") {
     val links = Seq(("p1", "Q1"), ("p1", "Q2"), ("p1", "Q9"))
       .toDF("url", "qid")

@@ -269,6 +269,33 @@ class LinkerSpec extends SparkSpec {
     assert(driver == dist, s"paths diverge: $driver vs $dist")
   }
 
+  test("persisted lookup memo: second run skips generation for memoized mentions") {
+    val memoDir = java.nio.file.Files.createTempDirectory("linkmemo").toString + "/memo"
+    val cfg = LinkerConfig(limit = 20, cutByRelevance = true, computeAmbiguity = false)
+    val m1 = mentionsOf("Alderton", "Xqzj Vvkp")
+    val first = Linker.linkTop1Memoized(spark, m1, index, cfg, 0.5, memoDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(first.nonEmpty, "Alderton must link")
+    // run 2 over overlapping + new mentions, against an EMPTY index: the
+    // memoized mention can only resolve through the memo — proof that
+    // candidate generation was skipped for it. The no-link mention is
+    // memoized too (cached empty response) and must NOT reappear.
+    val emptyNames = index.names.filter(lit(false)).localCheckpoint(eager = false)
+    val emptyIdx = NameIndexTables(emptyNames,
+      index.postings.filter(lit(false)), index.postings3g.filter(lit(false)),
+      index.postingsPair.map(_.filter(lit(false))))
+    val m2 = mentionsOf("Alderton", "Xqzj Vvkp", "Springfield")
+    val second = Linker.linkTop1Memoized(spark, m2, emptyIdx, cfg, 0.5, memoDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(second.get("alderton") == first.get("alderton"),
+      s"memoized link must survive an index-free run: $second vs $first")
+    assert(!second.contains("xqzj vvkp"))
+    // determinism: re-running with the REAL index changes nothing
+    val third = Linker.linkTop1Memoized(spark, m2, index, cfg, 0.5, memoDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(third.get("alderton") == first.get("alderton"))
+  }
+
   test("salting path yields identical candidates to the unsalted join") {
     val base = Linker.lookup(spark, mentionsOf("Alderton", "Springfield"), index,
       LinkerConfig(limit = 100, hotTokenDf = Long.MaxValue))
