@@ -159,11 +159,11 @@ object Bench {
     // e.g. 316 s vs 207 s for the same 4-core leg minutes apart), so each
     // leg is re-run and the BEST wall time kept — min-of-k estimates the
     // uncontended machine, which is what a cluster-size comparison needs.
-    // The same rule applies to every leg; legs whose first run exceeds
-    // repeatBudget get one run only (a long run integrates over drift
-    // windows; repeating it would double bench wall time for little
-    // variance reduction). All runs are reported in the JSON.
-    val repeatBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_BUDGET", "450").toInt
+    // The same rule applies to every leg (symmetric min — repeating only
+    // the short leg would bias the ratio); legs whose first run exceeds
+    // repeatBudget get one run only (a pathological run should not double
+    // an already-long bench). All runs are reported in the JSON.
+    val repeatBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_BUDGET", "900").toInt
     val legRuns = legCores.map { cores =>
       try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
       catch { case _: Exception => }

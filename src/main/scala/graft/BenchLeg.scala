@@ -25,15 +25,23 @@ import org.apache.spark.sql.SparkSession
 object BenchLeg {
 
   /** Pipeline-tuned session (shared with Bench's in-process fallback):
-    * 4×cores shuffle partitions with AQE partition-coalescing OFF — AQE
-    * otherwise coalesces the pipeline's mid-size shuffles down to 1-2
-    * post-shuffle partitions and serializes whole stages; 8 MB splits so
-    * a few-hundred-MB corpus still scans with `cores` tasks. */
+    * FIXED shuffle partitioning (default 16 = 4× the high leg's cores,
+    * override via SPARK_GRAFT_BENCH_SHUFFLE_PARTS) with AQE
+    * partition-coalescing OFF — AQE otherwise coalesces the pipeline's
+    * mid-size shuffles down to 1-2 post-shuffle partitions and
+    * serializes whole stages. The partition count deliberately does NOT
+    * scale with the leg's cores: a cluster job's shuffle.partitions is a
+    * job property, not a cluster-size property (Spark's own default is a
+    * static 200), and per-leg partition counts would make the two legs
+    * run different task layouts — the N-core leg must execute the SAME
+    * job with less parallelism, not a cheaper job. 8 MB splits so a
+    * few-hundred-MB corpus still scans with `cores` tasks. */
   def pipelineSession(cores: Int): SparkSession = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE_PARTS", "16").toInt
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-leg-$cores")
-      .config("spark.sql.shuffle.partitions", 4 * cores)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
