@@ -74,6 +74,10 @@ object Bench {
     val cmd: Seq[String] =
       Seq("taskset", "-c", s"0-${cores - 1}", s"$javaHome/bin/java",
         s"-XX:ActiveProcessorCount=$cores", s"-Xmx$heap",
+        // throughput collector: measured 9% faster than G1 on the 4-core
+        // leg (145 s vs 159.5 s back-to-back) — batch legs want max
+        // throughput, not pause bounds; applied to EVERY leg identically
+        "-XX:+UseParallelGC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
       Jdk17AddOpens ++ Seq("-cp", cp, "graft.BenchLeg",
         pagesPath, dumpPath, workDir, cores.toString)

@@ -82,6 +82,27 @@ class PipelineSpec extends SparkSpec {
       Set("stage", "part_id", "output_rows", "checksum", "wall_ms"))
   }
 
+  test("memoDir: a second pipeline run reuses memoized links and matches") {
+    val before = out.links.select("mention_norm", "qid")
+      .as[(String, String)].collect().toMap // forces the base run
+    val memo = Files.createTempDirectory("graft-memo").toString + "/memo"
+    val w2 = Files.createTempDirectory("graft-pipe-m1").toString
+    val run1 = Pipeline.run(spark, pages, dump, w2, memoDir = Some(memo))
+    assert(run1.links.select("mention_norm", "qid")
+      .as[(String, String)].collect().toMap == before,
+      "memoized pipeline must produce the same links as the base run")
+    val memoRows = spark.read.parquet(memo)
+    assert(memoRows.count() > 0)
+    // second run over the same corpus: EVERY distinct mention is memoized,
+    // so the fresh-computation side must be empty — no new memo rows
+    val w3 = Files.createTempDirectory("graft-pipe-m2").toString
+    val run2 = Pipeline.run(spark, pages, dump, w3, memoDir = Some(memo))
+    assert(run2.links.select("mention_norm", "qid")
+      .as[(String, String)].collect().toMap == before)
+    assert(spark.read.parquet(memo).count() == memoRows.count(),
+      "second run should memo-hit every mention and append nothing")
+  }
+
   test("resume: a second run recomputes nothing and returns identical triples") {
     val before = out.triples.count() // forces the first full run
     val lineageCount = spark.read.parquet(s"$work/_lineage").count()
