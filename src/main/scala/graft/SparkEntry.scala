@@ -260,6 +260,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // ---- S11: Crunchbase-style CSV → KG literals (parsing_cb.py) ----
+    "q_cb_parse" -> ((s, dir) => {
+      // org table synthesized deterministically from `customer` (same
+      // construction in the oracle): one DATETIME, one NUMBER, one STRING
+      // column per org, classified by the reference's classify_value order
+      val orgs = t(s, dir, "customer").select(
+        concat(lit("org-"), col("c_custkey")).as("permalink"),
+        col("c_name").as("name"),
+        concat(lit("19"), (lit(90) + col("c_custkey") % 10).cast("string"),
+          lit("-0"), (lit(1) + col("c_custkey") % 9).cast("string"),
+          lit("-15")).as("founded_on"),
+        col("c_acctbal").cast("string").as("funding_total"),
+        col("c_mktsegment").as("category"))
+      graft.kg.ParseCrunchbase.literals(orgs)
+        .orderBy(col("entity"), col("pred"))
+    }),
+
     // ---- dedup ops ----
     "q_dedup_exact" -> ((s, dir) => {
       // planted exact duplicates (doc_id+1000000) so the check is non-trivial
@@ -882,6 +899,30 @@ object SparkEntry {
                    FROM hs)
           SELECT doc_id, unnest(list_sort(list_distinct(w))) AS fp
           FROM wins ORDER BY doc_id, fp""",
+
+    // S11: same synthetic org construction; classification CASE uses the
+    // SAME anchored pattern strings as ParseCrunchbase.classifyValue
+    "q_cb_parse" -> {
+      val iso = graft.kg.ParseCrunchbase.IsoPattern
+      val flt = graft.kg.ParseCrunchbase.FloatPattern
+      s"""WITH orgs AS (
+            SELECT 'org-' || c_custkey AS permalink,
+                   '19' || (90 + c_custkey % 10) || '-0' || (1 + c_custkey % 9)
+                        || '-15' AS founded_on,
+                   CAST(c_acctbal AS VARCHAR) AS funding_total,
+                   c_mktsegment AS category
+            FROM customer),
+          lit AS (
+            SELECT permalink AS entity, 'founded_on' AS pred, founded_on AS value FROM orgs
+            UNION ALL SELECT permalink, 'funding_total', funding_total FROM orgs
+            UNION ALL SELECT permalink, 'category', category FROM orgs)
+          SELECT entity, pred,
+            CASE WHEN regexp_matches(value, '$iso') THEN 'DATETIME'
+                 WHEN regexp_matches(value, '$flt') THEN 'NUMBER'
+                 ELSE 'STRING' END AS datatype,
+            value
+          FROM lit WHERE value IS NOT NULL ORDER BY entity, pred"""
+    },
 
     "q_dedup_exact" ->
       s"""WITH d2 AS (
