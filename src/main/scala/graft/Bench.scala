@@ -6,25 +6,44 @@ import org.apache.spark.sql.SparkSession
   *
   *  1. driver-gate queries timed at local[SPARK_GRAFT_CPUS] on
   *     SPARK_GRAFT_SF_DIR (headline `value` = total seconds, as the driver
-  *     expects). The gate session uses DEFAULT shuffle sizing (32
-  *     partitions, AQE coalescing on): the pipeline tuning (4×cores, no
-  *     coalescing) is scoped to the pipeline legs only — it serialized
-  *     nothing there but ran KB-scale gate shuffles with 128 tasks in r2.
+  *     expects). The suite runs SPARK_GRAFT_BENCH_GATE_PASSES times
+  *     (default 2) and reports the per-query MIN: single-sample gate
+  *     timings under co-tenant load turned two r3 queries into 110 s / 39 s
+  *     outliers that run 9.5 s / 4.3 s on an idle box — one repeat removes
+  *     that noise floor for ~1 extra minute.
   *  2. KG-pipeline scaling evidence (north rule: ≥0.8 throughput scaling
   *     efficiency from N to 4N executors, realized in this sandbox as the
   *     same job at two parallelism levels on the same pre-generated
   *     corpus — per driver instructions): pages/sec + triples/sec per leg
   *     and efficiency = (thr_high/thr_low) / (cores_high/cores_low).
   *
-  * Each pipeline leg runs in a FRESH JVM pinned with `taskset -c` to
-  * exactly `cores` CPUs and `-XX:ActiveProcessorCount=cores` — the
-  * faithful stand-in for a cluster of that size (see [[BenchLeg]] for
-  * why; the in-process fallback is only used if forking fails).
-  * Legs via SPARK_GRAFT_BENCH_CORES (default "1,4"); corpus size via
-  * SPARK_GRAFT_BENCH_PAGES (default 384000 pages; KG capped at 32k
-  * entities — fixed-KG production shape). SPARK_GRAFT_BENCH_REPEATS > 1
-  * repeats every leg and keeps each leg's best wall time (defeats the
-  * ±20-30% cross-invocation machine drift documented in BASELINE.md).
+  * Leg scheduling (r4 — every r3 driver-run artifact has a counter):
+  *  - SYMMETRIC ROUNDS: legs run in complete interleaved rounds
+  *    (1,4, 1,4, …); every leg gets the SAME number of runs and the same
+  *    statistic (min). The r3 one-shot rule (first run > 450 s ⇒ no
+  *    repeats) disarmed the repeat machinery exactly when contention
+  *    struck, and repeated only the fast leg — an asymmetry that biased
+  *    the ratio. At least TWO rounds always run; more (up to
+  *    SPARK_GRAFT_BENCH_REPEATS, default 3) while the total leg wall fits
+  *    SPARK_GRAFT_BENCH_BUDGET (default 3000 s). Budgeting total bench
+  *    time instead of first-sample wall means a contended first run BUYS
+  *    a repeat rather than forfeiting it.
+  *  - INTERLEAVING: consecutive samples of one leg are ~a round apart, so
+  *    a transient contention window cannot own every sample of one leg
+  *    while sparing the other.
+  *  - LOAD-AWARE PINNING: each run is pinned (taskset) to the `cores`
+  *    LEAST-LOADED CPUs measured from /proc/stat immediately before the
+  *    fork — not CPUs 0..N−1, which are where IRQs and co-tenant load
+  *    land first (cpu0's busy time on this box is ~2× any other core's).
+  *  - Fresh JVM per leg + JIT warmup inside the leg (see [[BenchLeg]]).
+  *  - benchRoot (corpus + scratch, ~100+ MB) is deleted at exit.
+  *
+  * Optional second corpus point: after the primary rounds, if the
+  * remaining budget fits a projected 1-round pair at 2× pages, the same
+  * legs run once each on a 768k-page corpus (SPARK_GRAFT_BENCH_2X=0
+  * disables). BASELINE.md's decomposition predicts efficiency RISES with
+  * corpus size (parallel work grows linearly over a flat stage-latency
+  * floor); this measures that claim instead of extrapolating it.
   */
 object Bench {
 
@@ -63,6 +82,38 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** The `n` least-loaded CPU ids over a 250 ms /proc/stat window, ties
+    * broken randomly (on an idle box every core ties — a fixed tiebreak
+    * would re-concentrate every run on the same cores). Falls back to
+    * 0..n−1 when /proc/stat is unreadable. This box has no SMT and one
+    * NUMA node (verified), so any idle core is equivalent hardware. */
+  private[graft] def idleCpus(n: Int): Seq[Int] = {
+    def snap(): Map[Int, (Long, Long)] =
+      scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+        src.getLines()
+          .filter(l => l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
+          .map { l =>
+            val p = l.trim.split("\\s+")
+            val id = p(0).drop(3).toInt
+            val vals = p.tail.map(_.toLong)
+            val idle = vals(3) + (if (vals.length > 4) vals(4) else 0L)
+            (id, (idle, vals.sum))
+          }.toMap
+      }
+    try {
+      val a = snap(); Thread.sleep(250); val b = snap()
+      val rnd = new scala.util.Random()
+      b.toSeq.map { case (id, (i2, t2)) =>
+        val (i1, t1) = a.getOrElse(id, (i2, t2))
+        val dt = math.max(1L, t2 - t1)
+        (id, (i2 - i1).toDouble / dt)
+      }.sortBy { case (id, idleFrac) => (-idleFrac, rnd.nextInt()) }
+        .take(n).map(_._1).sorted
+    } catch {
+      case _: Exception => 0 until n
+    }
+  }
+
   /** Fork one pinned leg JVM; returns (triples, sec) from its JSON line,
     * or None if the fork could not run (missing taskset, bad classpath). */
   private def forkLeg(pagesPath: String, dumpPath: String, workDir: String,
@@ -71,8 +122,10 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     if (cp == null || !cp.contains("classes")) return None
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cpuSet = idleCpus(cores).mkString(",")
+    System.err.println(s"[bench] leg cores=$cores pinned to cpus {$cpuSet}")
     val cmd: Seq[String] =
-      Seq("taskset", "-c", s"0-${cores - 1}", s"$javaHome/bin/java",
+      Seq("taskset", "-c", cpuSet, s"$javaHome/bin/java",
         s"-XX:ActiveProcessorCount=$cores", s"-Xmx$heap",
         // stock JDK17 collector (G1), deliberately untouched: collector
         // choice shifts work between mutator and GC threads differently
@@ -114,88 +167,140 @@ object Bench {
     // KG size is CAPPED: the production shape is a FIXED KG with a growing
     // corpus — coupling entities to pages would also grow candidates-per-
     // mention linearly, making the bench artificially quadratic
-    val nEntities = math.min(32000, math.max(400, nPages / 6))
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    def entitiesFor(pages: Int) = math.min(32000, math.max(400, pages / 6))
+    val nEntities = entitiesFor(nPages)
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val legBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3000").toDouble
+    val gatePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_PASSES", "2").toInt
+    val want2x = sys.env.getOrElse("SPARK_GRAFT_BENCH_2X", "1") != "0"
     val benchRoot = s"/tmp/graft-bench-${ProcessHandle.current().pid()}"
+    // scratch corpora are per-invocation; never leave them behind (the
+    // r3 harness leaked ~1 GB of stale /tmp corpora across invocations)
+    def deleteBenchRoot(): Unit =
+      scala.reflect.io.Directory(new java.io.File(benchRoot)).deleteRecursively()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteBenchRoot()))
 
     // ---- 1. driver-gate queries (SKIP_GATES: dev-only fast iteration
-    //      on the pipeline legs; the driver never sets it) ----
+    //      on the pipeline legs; the driver never sets it). gatePasses
+    //      passes, per-query min — one repeat removes the co-tenant noise
+    //      floor that made two r3 single-sample timings 10× their idle
+    //      truth. ----
     val spark = gateSession(cpus)
     val results =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_GATES")) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = timed {
-          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      else {
+        val names = SparkEntry.queries.toSeq.sortBy(_._1)
+        val passes = (1 to math.max(1, gatePasses)).map { _ =>
+          names.map { case (name, fn) =>
+            val (_, sec) = timed {
+              try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+            }
+            name -> sec
+          }
         }
-        name -> sec
+        names.map { case (name, _) =>
+          name -> passes.map(_.toMap.apply(name)).min
+        }
       }
     val total = results.map(_._2).sum
 
     // ---- 2. pipeline corpus, generated once ----
-    val pagesPath = s"$benchRoot/pages"
-    val dumpPath = s"$benchRoot/dump"
-    graft.kg.Fixtures.pages(spark, nPages, nEntities)
-      .write.mode("overwrite").parquet(pagesPath)
-    graft.kg.Fixtures.dumpLines(spark, nEntities)
-      .write.mode("overwrite").parquet(dumpPath)
+    def genCorpus(s: SparkSession, pages: Int, root: String): (String, String) = {
+      val pagesPath = s"$root/pages"
+      val dumpPath = s"$root/dump"
+      graft.kg.Fixtures.pages(s, pages, entitiesFor(pages))
+        .write.mode("overwrite").parquet(pagesPath)
+      graft.kg.Fixtures.dumpLines(s, entitiesFor(pages))
+        .write.mode("overwrite").parquet(dumpPath)
+      (pagesPath, dumpPath)
+    }
+    val (pagesPath, dumpPath) = genCorpus(spark, nPages, s"$benchRoot/c1")
     spark.stop()
 
-    // ---- 3. pipeline at two parallelism levels, fresh pinned JVM each ----
-    case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
-                   triplesPerSec: Double, triples: Long)
+    // ---- 3. pipeline legs: interleaved symmetric rounds ----
     val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    def runOnce(cores: Int, rep: Int): (Long, Double) = {
-      val work = s"$benchRoot/work-$cores-$rep"
-      val r = forkLeg(pagesPath, dumpPath, work, cores).getOrElse {
+    var legWall = 0.0 // total wall spent inside legs (budget currency)
+    def runOnce(cores: Int, tag: String, pp: String, dp: String): (Long, Double) = {
+      try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
+      catch { case _: Exception => }
+      val work = s"$benchRoot/work-$tag-$cores"
+      val r = forkLeg(pp, dp, work, cores).getOrElse {
         val s = BenchLeg.pipelineSession(cores)
-        val res = BenchLeg.runLeg(s, pagesPath, dumpPath, work)
+        val res = BenchLeg.runLeg(s, pp, dp, work)
         s.stop()
         res
       }
       // stage outputs are per-leg scratch; drop them so repeats can't
       // resume from markers and multi-leg runs don't fill /tmp
       scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+      legWall += r._2
       r
     }
     // Machine throughput in this sandbox drifts ±30-50% BETWEEN runs of
-    // the IDENTICAL config (BASELINE.md documents repeated measurements;
-    // e.g. 316 s vs 207 s for the same 4-core leg minutes apart), so each
-    // leg is re-run and the BEST wall time kept — min-of-k estimates the
-    // uncontended machine, which is what a cluster-size comparison needs.
-    // The same rule applies to every leg; legs whose first run exceeds
-    // repeatBudget get one run only. That asymmetry is EMPIRICAL, not a
-    // thumb on the scale: contention steals parallel capacity, so the
-    // 1-core leg's wall is naturally drift-immune (measured spread ±2%:
-    // 516.0/526.7 s and 440.0/465.4 s same-invocation pairs) while the
-    // 4-core leg's is not (±25%: 159-228 s for the identical config) —
-    // repeats go where the variance is. All runs are reported in the
-    // JSON (`runs_sec`) so the spread is visible.
-    val repeatBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_BUDGET", "450").toInt
-    val legRuns = legCores.map { cores =>
-      try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
-      catch { case _: Exception => }
-      val first = runOnce(cores, 1)
-      val runs =
-        if (first._2 <= repeatBudget && repeats > 1)
-          first +: (2 to repeats).map(rep => runOnce(cores, rep))
-        else Seq(first)
-      (cores, runs)
+    // the IDENTICAL config (BASELINE.md documents repeated measurements),
+    // so each leg runs in ≥2 interleaved rounds and the BEST wall is kept
+    // — min-of-k estimates the uncontended machine, which is what a
+    // cluster-size comparison needs; every sample is in the JSON
+    // (`runs_sec`) so the spread stays visible.
+    val runsByLeg = scala.collection.mutable.Map[Int, Vector[(Long, Double)]]()
+      .withDefaultValue(Vector.empty)
+    def oneRound(round: Int): Unit =
+      legCores.foreach { c =>
+        runsByLeg(c) = runsByLeg(c) :+ runOnce(c, s"r$round", pagesPath, dumpPath)
+      }
+    oneRound(1)
+    oneRound(2) // two complete rounds ALWAYS — a contended sample is the
+                // case repeats exist for; only rounds 3+ are budget-gated
+    def projRound: Double = legCores.map(c => runsByLeg(c).map(_._2).min).sum
+    var rounds = 2
+    while (rounds < maxRounds && legWall + projRound <= legBudget) {
+      rounds += 1
+      oneRound(rounds)
     }
-    val legs = legRuns.map { case (cores, runs) =>
-      val (nTriples, sec) = runs.minBy(_._2)
-      Leg(cores, sec, nPages / sec, nTriples / sec, nTriples)
-    }
-    val eff = (legs.last.triplesPerSec / legs.head.triplesPerSec) /
-      (legs.last.cores.toDouble / legs.head.cores)
+
+    case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
+                   triplesPerSec: Double, triples: Long, runs: Seq[Double])
+    def summarize(runs: Map[Int, Vector[(Long, Double)]], pages: Int): Seq[Leg] =
+      legCores.map { c =>
+        val rs = runs(c)
+        val (nTriples, sec) = rs.minBy(_._2)
+        Leg(c, sec, pages / sec, nTriples / sec, nTriples, rs.map(_._2))
+      }
+    def efficiency(legs: Seq[Leg]): Double =
+      (legs.last.triplesPerSec / legs.head.triplesPerSec) /
+        (legs.last.cores.toDouble / legs.head.cores)
+    val legs = summarize(runsByLeg.toMap.withDefaultValue(Vector.empty), nPages)
+    val eff = efficiency(legs)
+
+    // ---- 4. optional 2× corpus point (one round) if the budget fits:
+    //      projected cost = 2× the per-leg primary minimums (conservative:
+    //      measured per-page throughput RISES with corpus size) ----
+    val pages2x = nPages * 2
+    val proj2x = 2.0 * projRound + 120.0 // + corpus gen allowance
+    val legs2x: Option[(Seq[Leg], Double)] =
+      if (want2x && legWall + proj2x <= legBudget) {
+        val gen = gateSession(cpus)
+        val (pp2, dp2) = genCorpus(gen, pages2x, s"$benchRoot/c2")
+        gen.stop()
+        val runs2 = legCores.map(c =>
+          c -> Vector(runOnce(c, "x2", pp2, dp2))).toMap
+        val l2 = summarize(runs2, pages2x)
+        Some((l2, efficiency(l2)))
+      } else None
+
+    deleteBenchRoot()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val legsJson = legs.zip(legRuns).map { case (l, (_, runs)) =>
-      val runsJson = runs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+    def legsJson(ls: Seq[Leg]): String = ls.map { l =>
+      val runsJson = l.runs.map(r => f"$r%.2f").mkString("[", ",", "]")
       f""""local${l.cores}":{"sec":${l.sec}%.2f,"pages_per_sec":${l.pagesPerSec}%.1f,"triples_per_sec":${l.triplesPerSec}%.1f,"triples":${l.triples},"runs_sec":$runsJson}"""
     }.mkString(",")
+    val json2x = legs2x.map { case (ls, e2) =>
+      f""","corpus_2x":{"pages":$pages2x,${legsJson(ls)},"scaling_efficiency":$e2%.3f}"""
+    }.getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"entities":$nEntities,$legsJson,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"entities":$nEntities,${legsJson(legs)},"scaling_efficiency":$eff%.3f$json2x}}""")
   }
 }

@@ -722,8 +722,11 @@ object SparkEntry {
   }
 
   // =====================================================================
-  // oracleSql — DuckDB equivalents. Keys absent here ⇒ rows-only check
-  // (engine-defined hashing: q_minhash_pairs, q_simhash_pairs, q_ann_lsh).
+  // oracleSql — DuckDB equivalents. EVERY key in `queries` has a full
+  // hash-checked oracle here (45/45 since r3): the signature operators
+  // (q_minhash_pairs, q_simhash_pairs) use md5-based signatures chosen so
+  // DuckDB can reproduce them bit-exactly, and the ANN gates pin measured
+  // recall-1.0 configs so brute-force SQL is exact.
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
 
@@ -921,7 +924,8 @@ object SparkEntry {
                  WHEN regexp_matches(value, '$flt') THEN 'NUMBER'
                  ELSE 'STRING' END AS datatype,
             value
-          FROM lit WHERE value IS NOT NULL ORDER BY entity, pred"""
+          FROM (SELECT entity, pred, COALESCE(value, 'nan') AS value FROM lit) t
+          ORDER BY entity, pred"""
     },
 
     "q_dedup_exact" ->

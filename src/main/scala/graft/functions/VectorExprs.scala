@@ -42,17 +42,27 @@ object VectorHelper {
   }
 }
 
-/** array<double> → int nearest-centroid id (see [[VectorHelper]]). */
+/** array<double> → int nearest-centroid id (see [[VectorHelper]]).
+  *
+  * Centroids/ids are held as immutable `IndexedSeq`s, NOT arrays: case-class
+  * equality on Array fields is reference-based, so two semantically
+  * identical expressions would never compare equal — defeating Catalyst
+  * plan canonicalization / common-subexpression elimination — and `copy`
+  * in withNewChildInternal would share mutable arrays across plan copies.
+  * The primitive arrays the tight loop needs are derived once, lazily. */
 case class NearestCentroidExpr(child: Expression,
-                               centroids: Array[Array[Double]],
-                               ids: Array[Int]) extends UnaryExpression {
+                               centroids: IndexedSeq[IndexedSeq[Double]],
+                               ids: IndexedSeq[Int]) extends UnaryExpression {
+  @transient private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = ids.toArray
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(input: Any): Any =
     VectorHelper.nearestCentroid(
-      input.asInstanceOf[ArrayData].toDoubleArray(), centroids, ids)
+      input.asInstanceOf[ArrayData].toDoubleArray(), centArr, idArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cref = ctx.addReferenceObj("centroids", centroids, "double[][]")
-    val iref = ctx.addReferenceObj("centroidIds", ids, "int[]")
+    val cref = ctx.addReferenceObj("centroids", centArr, "double[][]")
+    val iref = ctx.addReferenceObj("centroidIds", idArr, "int[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.VectorHelper.nearestCentroid($c.toDoubleArray(), $cref, $iref)")
   }
@@ -64,5 +74,6 @@ object VectorExprs {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]],
                       ids: Array[Int]): Column =
     GraftExpressionBridge.column(
-      NearestCentroidExpr(GraftExpressionBridge.expression(v), centroids, ids))
+      NearestCentroidExpr(GraftExpressionBridge.expression(v),
+        centroids.map(_.toIndexedSeq).toIndexedSeq, ids.toIndexedSeq))
 }

@@ -588,11 +588,55 @@ object Linker {
       .select(col("mention_norm"), col("id").as("qid"), col("link_score"))
   }
 
-  /** Deterministic memo key for a linking configuration — results are
-    * only reusable under the SAME filters/limits/scoring switches. */
-  private def memoKey(cfg: LinkerConfig, minScore: Double): String = {
+  /** Content fingerprint of the name index — folded into the memo key so
+    * a REBUILT KG auto-invalidates stale memo rows (the reference couples
+    * cache and index lifecycles the same way: its Mongo `cache` is cleared
+    * on reindex, `lookup_retriever.py:139-156`). One columnar partial-agg
+    * scan of `names` (count + order-independent xor of a per-row hash over
+    * the scoring-relevant columns); precompute at index-build time via
+    * [[NameIndexTables.fingerprint]] to keep even that scan off the
+    * linking critical path. */
+  def indexFingerprint(index: NameIndexTables): Long =
+    index.fingerprint.getOrElse {
+      val r = index.names.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("name_row_id"), col("popularity_norm"),
+          col("kind"))), lit(0L)).as("x")).head()
+      (r.getLong(0) * 0x9E3779B97F4A7C15L) ^ r.getLong(1)
+    }
+
+  /** Deterministic memo key for a linking configuration + index content —
+    * results are only reusable under the SAME filters/limits/scoring
+    * switches AND the same index. Fields are enumerated explicitly (not
+    * `cfg.toString`): a future field with identity toString (e.g. an
+    * Array) would silently make a toString key non-deterministic and the
+    * memo would never hit again. */
+  private[kg] def memoKey(cfg: LinkerConfig, minScore: Double,
+                          indexFp: Long): String = {
+    val parts = Seq(
+      "limit=" + cfg.limit, "fuzzy=" + cfg.fuzzy, "kind=" + cfg.kind,
+      "nerTypes=" + cfg.nerTypes.mkString("[", ",", "]"),
+      "types=" + cfg.types.mkString("[", ",", "]"),
+      "extendedTypes=" + cfg.extendedTypes.mkString("[", ",", "]"),
+      "language=" + cfg.language,
+      "softFiltering=" + cfg.softFiltering,
+      "saltShards=" + cfg.saltShards,
+      "hotTokenDf=" + cfg.hotTokenDf,
+      "maxGramDf=" + cfg.maxGramDf,
+      "commonTokenDf=" + cfg.commonTokenDf,
+      "minShouldMatch=" + cfg.minShouldMatch,
+      "cutByRelevance=" + cfg.cutByRelevance,
+      "computeAmbiguity=" + cfg.computeAmbiguity,
+      "ids=" + cfg.ids.mkString("[", ",", "]"),
+      "normalizeScore=" + cfg.normalizeScore,
+      "fuzzyFallbackOnly=" + cfg.fuzzyFallbackOnly,
+      "maxFuzzyExpansions=" + cfg.maxFuzzyExpansions,
+      "fuzzyPairGen=" + cfg.fuzzyPairGen,
+      "minScore=" + minScore,
+      "indexFp=" + indexFp)
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$cfg|$minScore".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    md.digest(parts.mkString("|").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** Cross-run lookup memo — the PERSISTED form of the reference's query
@@ -609,23 +653,18 @@ object Linker {
     * Scale shape: the memo join is one broadcast/shuffle of the
     * distinct-mention set against a table bucketable by mention_norm —
     * the candidate-generation DAG it replaces is strictly heavier.
-    * Invalidation is the CALLER's job: the key covers the linking config,
-    * not the index contents — rebuild/clear the memo when the index
-    * changes (the reference clears its Mongo cache on reindex the same
-    * way). */
+    * Invalidation is AUTOMATIC: the key folds in [[indexFingerprint]], so
+    * rows memoized against a rebuilt/changed index simply stop matching
+    * (the reference's analogue clears its Mongo cache on reindex).
+    * Concurrency: each append lands in its own `batch-<uuid>` subdirectory
+    * — two simultaneous runs sharing a memoDir cannot race on a shared
+    * FileOutputCommitter `_temporary` staging dir; reads use
+    * recursiveFileLookup so flat (pre-r4) and batched layouts coexist. */
   def linkTop1Memoized(spark: SparkSession, mentions: DataFrame,
                        index: NameIndexTables, cfg: LinkerConfig,
                        minScore: Double, memoDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val key = memoKey(cfg, minScore)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "cfg_key string, mention_norm string, qid string, link_score double")
-    val fs = new Path(memoDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val memoRaw =
-      if (fs.exists(new Path(memoDir))) spark.read.schema(schema).parquet(memoDir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val key = memoKey(cfg, minScore, indexFingerprint(index))
+    val memoRaw = readMemo(spark, memoDir)
     val mentionsD = mentions.select(col("mention_norm"))
       .filter(col("mention_norm") =!= "").distinct()
     val hits = memoRaw.filter(col("cfg_key") === key)
@@ -642,10 +681,57 @@ object Linker {
       .join(fresh, Seq("mention_norm"), "left")
       .select(lit(key).as("cfg_key"), col("mention_norm"),
         col("qid"), col("link_score"))
-      .write.mode("append").parquet(memoDir)
+      .write.mode("overwrite")
+      .parquet(s"$memoDir/batch-${java.util.UUID.randomUUID()}")
+    // drop the session's cached file listing for memoDir: a later read in
+    // the same session must see the batch just appended
+    spark.catalog.refreshByPath(memoDir)
     hits.filter(col("qid").isNotNull)
       .select(col("mention_norm"), col("qid"), col("link_score"))
       .unionByName(fresh)
+  }
+
+  private val MemoSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cfg_key string, mention_norm string, qid string, link_score double")
+
+  private def readMemo(spark: SparkSession, memoDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(memoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(memoDir)))
+      spark.read.schema(MemoSchema)
+        .option("recursiveFileLookup", "true").parquet(memoDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MemoSchema)
+  }
+
+  /** Bound the append-only memo (reference C1 parity: its Mongo cache is
+    * LRU-bounded via `lastAccessed` + TTL, `lookup_retriever.py:313-346`;
+    * batch runs have no access clock, so the policy here is dedup +
+    * deterministic down-sampling). Rewrites memoDir as ONE deduped batch:
+    * duplicates from crash-repeated appends collapse (rows are identical —
+    * linking is deterministic), and if still over maxRows an arbitrary
+    * but deterministic subset (ordered by xxhash64 of the key pair) is
+    * kept — dropping memo rows only costs recomputation, never
+    * correctness. Not concurrency-safe vs in-flight appends: compact
+    * between runs, like the reference's reindex-time cache clear. */
+  def compactMemo(spark: SparkSession, memoDir: String,
+                  maxRows: Long = Long.MaxValue): Long = {
+    import org.apache.hadoop.fs.Path
+    val memo = readMemo(spark, memoDir).dropDuplicates("cfg_key", "mention_norm")
+    val bounded =
+      if (memo.count() <= maxRows) memo
+      else memo.orderBy(xxhash64(col("cfg_key"), col("mention_norm")))
+        .limit(math.min(maxRows, Int.MaxValue.toLong).toInt)
+    val tmp = s"$memoDir-compact-${java.util.UUID.randomUUID()}"
+    bounded.write.mode("overwrite").parquet(tmp)
+    val fs = new Path(memoDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(memoDir), true)
+    fs.rename(new Path(tmp), new Path(memoDir))
+    // the rewrite invalidated every cached file listing under memoDir
+    spark.catalog.refreshByPath(memoDir)
+    spark.read.parquet(memoDir).count()
   }
 
   /** Shared core of lookup/linkTop1: candidate generation + filters +
@@ -919,7 +1005,10 @@ object Linker {
   * @param idfMaps       optional precomputed (name_row_id, idf_map) —
   *                      NameIndex.idfMaps; absent ⇒ derived per run.
   * @param nameRowCount  optional precomputed names row count (skips the
-  *                      per-run count job). */
+  *                      per-run count job).
+  * @param fingerprint   optional precomputed [[Linker.indexFingerprint]]
+  *                      (memo-key invalidation); absent ⇒ one columnar
+  *                      agg scan of names per memoized call. */
 case class NameIndexTables(names: DataFrame, postings: DataFrame,
                            postings3g: DataFrame,
                            postingsPair: Option[DataFrame] = None,
@@ -929,4 +1018,5 @@ case class NameIndexTables(names: DataFrame, postings: DataFrame,
                            pairStats: Option[DataFrame] = None,
                            idfMaps: Option[DataFrame] = None,
                            nameRowCount: Option[Long] = None,
-                           hotTokens: Option[Set[String]] = None)
+                           hotTokens: Option[Set[String]] = None,
+                           fingerprint: Option[Long] = None)

@@ -19,17 +19,28 @@ import org.apache.spark.sql.functions._
   *  - classification order is DATETIME → NUMBER → STRING, first match
   *    wins, values stringified.
   *
-  * Engine notes: `dateutil.isoparse` accepts the ISO-8601 prefix family —
-  * realized as the anchored regex below (YYYY[-MM[-DD[THH[:MM[:SS]]]]]);
+  * Engine notes: `dateutil.isoparse` acceptance is realized as the
+  * anchored regex below — the extended-format ISO-8601 prefix family
+  * YYYY[-MM[-DD[THH[:MM[:SS[.f]]]][tz]]] with month/day/hour/minute/second
+  * range bounds and an optional Z / ±HH[:MM] timezone suffix after a time.
+  * KNOWN acceptance divergences from isoparse (kept: the regex must be
+  * reproducible bit-for-bit in the DuckDB oracle, and full calendar
+  * validation is not regular): compact basic forms (YYYYMMDD), ISO week
+  * (YYYY-Www-D) and ordinal (YYYY-DDD) dates are REJECTED here but parse
+  * in isoparse; calendar-impossible day-of-month combinations that pass
+  * the digit bounds (e.g. 2020-02-30) are ACCEPTED here but raise there.
   * `float()` is realized as a float-literal regex (inf/nan accepted, as
   * Python does). Both are plain Column expressions, reproducible in the
   * DuckDB oracle from the same pattern strings.
   */
 object ParseCrunchbase {
 
-  /** `dateutil.parser.isoparse` acceptance, anchored. */
+  /** `dateutil.parser.isoparse` acceptance, anchored (divergences: object
+    * scaladoc above). */
   val IsoPattern: String =
-    "^\\d{4}(-\\d{2}(-\\d{2}([T ]\\d{2}(:\\d{2}(:\\d{2}(\\.\\d+)?)?)?)?)?)?$"
+    "^\\d{4}(-(0[1-9]|1[0-2])(-(0[1-9]|[12]\\d|3[01])" +
+      "([T ]([01]\\d|2[0-3])(:[0-5]\\d(:[0-5]\\d(\\.\\d+)?)?)?" +
+      "(Z|[+-]\\d{2}(:?\\d{2})?)?)?)?)?$"
 
   /** Python `float()` acceptance (incl. inf/nan, underscores excluded). */
   val FloatPattern: String =
@@ -72,15 +83,18 @@ object ParseCrunchbase {
     * form of the nested `literals[datatype][column] -> [values]` doc
     * (downstream re-nesting is Retrieval.literals' job, A10/A11). Every
     * column except the identity/alias ones contributes one stringified,
-    * classified value. */
+    * classified value. Missing cells are NOT dropped: pandas reads an
+    * empty CSV cell as NaN, `float(nan)` succeeds, and the reference
+    * appends `str(value)` = "nan" as a NUMBER literal (`parsing_cb.py`
+    * classify-then-stringify order) — reproduced here as a 'nan' fill. */
   def literals(orgs: DataFrame): DataFrame = {
     val identity = Set("permalink", "name", "alias1", "alias2", "alias3")
     val valueCols = orgs.columns.filterNot(identity.contains)
     val entries = array(valueCols.map(c =>
       struct(lit(c).as("pred"), col(c).cast("string").as("value"))): _*)
     orgs.select(col("permalink").as("entity"), explode(entries).as("e"))
-      .select(col("entity"), col("e.pred").as("pred"), col("e.value").as("value"))
-      .filter(col("value").isNotNull)
+      .select(col("entity"), col("e.pred").as("pred"),
+        coalesce(col("e.value"), lit("nan")).as("value"))
       .withColumn("datatype", classifyValue(col("value")))
   }
 }

@@ -143,6 +143,11 @@ object Pipeline {
     }
     val names = stage("names") { NameIndex.names(items) }
     val fNameRows = Future { names.count() } // overlaps the posting builds
+    // memo-key index fingerprint (only consumed when memoDir is set):
+    // computed concurrently so memoized runs pay no extra wall time
+    val fFingerprint = memoDir.map(_ => Future {
+      Linker.indexFingerprint(NameIndexTables(names, names, names))
+    })
     val fPostings = Future { stage("postings") { NameIndex.postings(names) } }
     val fPostings3g = Future { stage("postings3g") { NameIndex.postings3g(names) } }
     val fPostingsPair = Future { stage("postings_pair") { NameIndex.postingsPair(names) } }
@@ -171,6 +176,15 @@ object Pipeline {
     val mentions = Await.result(fMentions, Duration.Inf)
     val literals = Await.result(fLiterals, Duration.Inf)
 
+    // canonicalized objects do NOT depend on links — materialize them
+    // concurrently with the linking DAG (chained off fCanon; registered
+    // BEFORE the blocking links stage) so the triples stage only has the
+    // pageLinks-dependent join left to do
+    val fCanonObjects = fCanon.map { canon =>
+      Triples.canonicalize(Triples.canonicalize(objects, canon, "subj"),
+        canon, "obj").localCheckpoint(eager = true)
+    }
+
     // ---- linking ----
     val links = stage("links") {
       val typeNames = items.filter(col("kind") === "type")
@@ -180,7 +194,8 @@ object Pipeline {
         Some(typeNames), Some(NameIndex.maxPopularity(items)),
         tokenStats = Some(tokenStats), pairStats = Some(pairStats),
         idfMaps = Some(idfMaps),
-        nameRowCount = Some(nameRows), hotTokens = Some(hotTokens))
+        nameRowCount = Some(nameRows), hotTokens = Some(hotTokens),
+        fingerprint = fFingerprint.map(Await.result(_, Duration.Inf)))
       memoDir match {
         case Some(dir) =>
           Linker.linkTop1Memoized(spark, mentions, idx, cfg, minLinkScore, dir)
@@ -196,9 +211,7 @@ object Pipeline {
       Triples.canonicalize(raw, canon, "qid").distinct()
     }
     val triples = stage("triples") {
-      val canonObjects = Triples.canonicalize(
-        Triples.canonicalize(objects, canon, "subj"), canon, "obj")
-      Triples.extract(pageLinks, canonObjects)
+      Triples.extract(pageLinks, Await.result(fCanonObjects, Duration.Inf))
     }
 
     // join the async lineage/marker commits before returning — the run is

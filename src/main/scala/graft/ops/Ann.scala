@@ -233,10 +233,20 @@ object Ann {
     * buckets across nTables tables. Trades recall for a shuffle keyed on
     * bucket instead of a cross join; at 100 TB the bucket join is the only
     * viable physical plan. Recall vs bruteForceTopK is measured in
-    * AnnSpec; raise nTables for recall, nBits for bucket granularity. */
+    * AnnSpec; raise nTables for recall, nBits for bucket granularity.
+    *
+    * Scale hygiene: `cos` is computed INSIDE the bucket join (a 64-dim
+    * dot is cheap codegen; recomputing it for the ≤nTables collisions of
+    * a pair is far cheaper than shuffling both unit vectors through the
+    * dedup exchange), so the multi-table `distinct` carries 3 scalars per
+    * candidate instead of ~1 KB of vectors; and corpus-side buckets above
+    * maxBucket are dropped (degenerate-bucket skew guard — same policy as
+    * [[lshCosinePairs]]; a zero vector or constant embedding region
+    * otherwise funnels the corpus into one reducer). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nBits: Int = 0, nTables: Int = 4): DataFrame = {
+              nBits: Int = 0, nTables: Int = 4,
+              maxBucket: Int = 100000): DataFrame = {
     val bits = if (nBits > 0) nBits else lshBitsFor(corpus.count())
     def keyed(df: DataFrame, side: String) = {
       val e = ensureParallelism(df).select(col(idCol).as(s"${side}_id"),
@@ -245,12 +255,17 @@ object Ann {
         xxhash64(lit(t), lshBucketFor(col(s"${side}_u"), t, bits))): _*)
       e.select(col(s"${side}_id"), col(s"${side}_u"), explode(keys).as("bucket"))
     }
-    val c = keyed(corpus, "n")
+    // checkpoint: the keyed corpus feeds both the bucket-df count and the
+    // join — without it the nTables×nBits projections run twice
+    val c = keyed(corpus, "n").localCheckpoint(eager = false)
+    val bucketDf = c.groupBy("bucket").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBucket).select("bucket")
+    val cSmall = c.join(bucketDf, Seq("bucket"), "left_semi")
     val q = keyed(queries, "q")
-    val joined = c.join(q, Seq("bucket")).filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "q_u", "n_id", "n_u")
-      .distinct() // a pair may collide in several tables
+    val joined = cSmall.join(q, Seq("bucket")).filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(dot(col("q_u"), col("n_u")), 6))
+      .select("q_id", "n_id", "cos")
+      .distinct() // a pair may collide in several tables — scalar-only dedup
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -276,14 +276,16 @@ class LinkerSpec extends SparkSpec {
     val first = Linker.linkTop1Memoized(spark, m1, index, cfg, 0.5, memoDir)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(first.nonEmpty, "Alderton must link")
-    // run 2 over overlapping + new mentions, against an EMPTY index: the
-    // memoized mention can only resolve through the memo — proof that
-    // candidate generation was skipped for it. The no-link mention is
-    // memoized too (cached empty response) and must NOT reappear.
+    // run 2 over overlapping + new mentions, against an EMPTY index (but
+    // carrying the REAL index's fingerprint, as a caller reusing a built
+    // index does): the memoized mention can only resolve through the memo —
+    // proof that candidate generation was skipped for it. The no-link
+    // mention is memoized too (cached empty response) and must NOT reappear.
     val emptyNames = index.names.filter(lit(false)).localCheckpoint(eager = false)
     val emptyIdx = NameIndexTables(emptyNames,
       index.postings.filter(lit(false)), index.postings3g.filter(lit(false)),
-      index.postingsPair.map(_.filter(lit(false))))
+      index.postingsPair.map(_.filter(lit(false))),
+      fingerprint = Some(Linker.indexFingerprint(index)))
     val m2 = mentionsOf("Alderton", "Xqzj Vvkp", "Springfield")
     val second = Linker.linkTop1Memoized(spark, m2, emptyIdx, cfg, 0.5, memoDir)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
@@ -294,6 +296,51 @@ class LinkerSpec extends SparkSpec {
     val third = Linker.linkTop1Memoized(spark, m2, index, cfg, 0.5, memoDir)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(third.get("alderton") == first.get("alderton"))
+  }
+
+  test("memo auto-invalidates when the index content changes") {
+    val memoDir = java.nio.file.Files.createTempDirectory("linkmemo-inv")
+      .toString + "/memo"
+    val cfg = LinkerConfig(limit = 20, cutByRelevance = true, computeAmbiguity = false)
+    val m = mentionsOf("Alderton")
+    val first = Linker.linkTop1Memoized(spark, m, index, cfg, 0.5, memoDir)
+      .collect()
+    assert(first.nonEmpty, "Alderton must link on the original index")
+    // a REBUILT (here: emptied) index has a different content fingerprint,
+    // so the memoized row must be IGNORED — regeneration against the new
+    // index finds nothing. (Pre-r4 the memo key covered only the config,
+    // and this returned the stale link.)
+    val emptyNames = index.names.filter(lit(false)).localCheckpoint(eager = false)
+    val rebuilt = NameIndexTables(emptyNames,
+      index.postings.filter(lit(false)), index.postings3g.filter(lit(false)),
+      index.postingsPair.map(_.filter(lit(false))))
+    val second = Linker.linkTop1Memoized(spark, m, rebuilt, cfg, 0.5, memoDir)
+      .collect()
+    assert(second.isEmpty,
+      s"stale memo rows served after an index rebuild: ${second.mkString}")
+  }
+
+  test("memo compaction: duplicates collapse, maxRows bounds the table") {
+    val memoDir = java.nio.file.Files.createTempDirectory("linkmemo-cmp")
+      .toString + "/memo"
+    val cfg = LinkerConfig(limit = 20, cutByRelevance = true, computeAmbiguity = false)
+    val m = mentionsOf("Alderton", "Springfield")
+    // two runs under two DIFFERENT configs → two batch dirs, two cfg_keys
+    Linker.linkTop1Memoized(spark, m, index, cfg, 0.5, memoDir).collect()
+    Linker.linkTop1Memoized(spark, m, index, cfg.copy(limit = 10), 0.5, memoDir)
+      .collect()
+    val raw = spark.read.option("recursiveFileLookup", "true").parquet(memoDir)
+    assert(raw.select("cfg_key").distinct().count() == 2)
+    // materialize the expected count BEFORE the rewrite deletes raw's files
+    val expected = raw.dropDuplicates("cfg_key", "mention_norm").count()
+    val deduped = Linker.compactMemo(spark, memoDir)
+    assert(deduped == expected)
+    val bounded = Linker.compactMemo(spark, memoDir, maxRows = 1)
+    assert(bounded == 1, s"compaction must bound the memo (got $bounded)")
+    // a bounded memo only costs recomputation: the run still links
+    val after = Linker.linkTop1Memoized(spark, m, index, cfg, 0.5, memoDir)
+      .collect().map(_.getString(0)).toSet
+    assert(after.contains("alderton"))
   }
 
   test("salting path yields identical candidates to the unsalted join") {

@@ -44,9 +44,36 @@ class ParseCrunchbaseSpec extends SparkSpec {
     assert(lit(("beta", "funding")) == ("NUMBER", "nan")) // float('nan') parses in Python
     assert(lit(("acme", "category")) == ("STRING", "software"))
     assert(lit(("beta", "category")) == ("STRING", "N/A $$"))
-    // permalink/name/alias1-3 never become literals; nulls dropped
+    // permalink/name/alias1-3 never become literals
     assert(!lit.keySet.exists { case (_, p) =>
       Set("permalink", "name", "alias1").contains(p) })
     assert(lit.size == 6)
+  }
+
+  test("literals: missing cell becomes a 'nan' NUMBER row (pandas NaN via float())") {
+    val withNull = Seq(("gamma", "Gamma LLC", null: String, "oops"))
+      .toDF("permalink", "name", "funding", "category")
+    val lit = ParseCrunchbase.literals(withNull)
+      .as[(String, String, String, String)].collect()
+      .map { case (e, p, v, d) => ((e, p), (d, v)) }.toMap
+    assert(lit(("gamma", "funding")) == ("NUMBER", "nan"),
+      "reference appends str(float('nan'))='nan' for missing cells")
+    assert(lit.size == 2)
+  }
+
+  test("IsoPattern: tz suffixes accepted, digit-range bounds enforced") {
+    val cases = Seq(
+      "2020-01-01T10:15:30Z" -> "DATETIME",      // Z suffix
+      "2020-01-01T10:15:30+05:30" -> "DATETIME", // ±HH:MM offset
+      "2020-01-01T10:15-0800" -> "DATETIME",     // ±HHMM offset
+      "1997-13-99" -> "STRING",                  // month/day out of range
+      "2020-00-10" -> "STRING",                  // month 00
+      "2020-01-01T25:00" -> "STRING",            // hour out of range
+      "2020-12-31" -> "DATETIME")
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), ParseCrunchbase.classifyValue(col("v")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (v, want) =>
+      assert(got(v) == want, s"classify($v) = ${got(v)}, want $want") }
   }
 }

@@ -91,15 +91,18 @@ class PipelineSpec extends SparkSpec {
     assert(run1.links.select("mention_norm", "qid")
       .as[(String, String)].collect().toMap == before,
       "memoized pipeline must produce the same links as the base run")
-    val memoRows = spark.read.parquet(memo)
-    assert(memoRows.count() > 0)
+    // batched layout: each run appends its own batch-<uuid> subdirectory
+    def memoCount() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(memo).count()
+    val memoRows = memoCount()
+    assert(memoRows > 0)
     // second run over the same corpus: EVERY distinct mention is memoized,
     // so the fresh-computation side must be empty — no new memo rows
     val w3 = Files.createTempDirectory("graft-pipe-m2").toString
     val run2 = Pipeline.run(spark, pages, dump, w3, memoDir = Some(memo))
     assert(run2.links.select("mention_norm", "qid")
       .as[(String, String)].collect().toMap == before)
-    assert(spark.read.parquet(memo).count() == memoRows.count(),
+    assert(memoCount() == memoRows,
       "second run should memo-hit every mention and append nothing")
   }
 

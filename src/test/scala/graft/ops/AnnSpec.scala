@@ -5,8 +5,9 @@ import graft.core.Similarity
 import org.apache.spark.sql.functions._
 
 /** Recall oracles for the LSH cosine paths vs their exact counterparts —
-  * the check behind the q_embed_lsh full oracle and the q_ann_lsh
-  * rows-only gate. */
+  * the measured-recall evidence behind the q_embed_lsh and q_ann_lsh full
+  * oracles (both pin configs whose recall is 1.0, so brute-force SQL is
+  * exact at the driver). */
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
@@ -89,5 +90,38 @@ class AnnSpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"lshTopK top-1 recall $recall < 0.9")
+  }
+
+  test("lshTopK: no shuffle exchange is keyed on an embedding column") {
+    // the multi-table dedup must run AFTER cos is computed, on
+    // (q_id, n_id, cos) — an exchange partitioned on a `_u` vector column
+    // means ~1 KB of unit vectors per candidate rides the dedup shuffle
+    val queries = embs.filter(col("vec_id") < 20)
+    val plan = Ann.lshTopK(embs, queries, k = 1, nBits = 3, nTables = 8)
+      .queryExecution.executedPlan.toString
+    val vectorKeyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("_u#")).toSeq
+    assert(vectorKeyed.isEmpty,
+      s"dedup exchange must carry scalars only:\n${vectorKeyed.mkString("\n")}")
+  }
+
+  test("lshTopK: maxBucket drops a planted degenerate bucket; real recall intact") {
+    // 300 identical vectors (a constant embedding region) collide into ONE
+    // bucket per table — unguarded, that bucket alone joins 300×queries rows
+    val constVec = (0 until 16).map(_ => 0.25).toArray
+    val degen = (0 until 300).map(i => (5000L + i, constVec))
+    val all = embs.union(degen.toDF("vec_id", "embedding"))
+    val queries = all.filter(col("vec_id") < 20 || col("vec_id") === 5000L)
+    val res = Ann.lshTopK(all, queries, k = 1, nBits = 3, nTables = 8,
+      maxBucket = 100)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(!res.exists { case (q, n) => q >= 5000 && n >= 5000 },
+      "degenerate-cluster self-pairs must be dropped by the bucket cap")
+    val brute = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 20), k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val real = res.filter(_._1 < 20).toSet
+    val recall = real.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"capped lshTopK real-query recall $recall < 0.9")
   }
 }

@@ -3,10 +3,11 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Recall/equivalence oracles for the approximate dedup operators — the
-  * missing check for the engine-defined-hash gates (q_minhash_pairs,
-  * q_simhash_pairs are rows-only at the driver; here they are measured
-  * against their exact counterparts on a corpus with planted near-dups). */
+/** Recall/equivalence oracles for the approximate dedup operators.
+  * The driver gates (q_minhash_pairs, q_simhash_pairs) are full hash
+  * oracles since r3 (md5-based signatures DuckDB reproduces bit-exactly);
+  * this spec adds the semantic check those gates can't express: recall
+  * against the exact counterparts on a corpus with planted near-dups. */
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
