@@ -24,9 +24,16 @@ object Similarity {
       greatest(length(a), length(b), lit(1)).cast("double")
 
   /** Set Jaccard with max-denominator over two pre-built array columns.
-    * Inputs should already be distinct sets (see Text.tokenSet/ngramSet). */
+    * Inputs MUST be sorted distinct sets as produced by
+    * Text.tokenSet / Text.ngramSet / shingles (binary UTF8String order) —
+    * the intersection size is a native merge scan
+    * ([[graft.functions.TextSetExprs.sortedOverlapCount]]): no per-row
+    * hash set or materialized intersection array, which was the hot
+    * allocation in the candidate-scoring stage (evaluated twice per
+    * post-cut candidate pair). Bit-identical to
+    * size(array_intersect(sa, sb)) for such inputs. */
   def setOverlapScore(sa: Column, sb: Column): Column =
-    size(array_intersect(sa, sb)).cast("double") /
+    graft.functions.TextSetExprs.sortedOverlapCount(sa, sb).cast("double") /
       greatest(size(sa), size(sb), lit(1)).cast("double")
 
   /** Whole-word token Jaccard of two raw strings (reference ngram=None). */

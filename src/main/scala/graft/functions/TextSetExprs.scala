@@ -120,6 +120,19 @@ object TextSetHelper {
 
   /** TextStats.shingles: sorted distinct word n-shingles (fewer than n
     * tokens ⇒ one shingle = the whole cleaned string, even when empty). */
+  /** Merge-scan |A ∩ B| over two sorted distinct UTF8String arrays. */
+  def sortedOverlapCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val toks = splitTokens(cleanStr(s))
     val set = new java.util.TreeSet[UTF8String]()
@@ -278,6 +291,27 @@ case class ShinglesExpr(child: Expression, n: Int) extends TextSetExpr {
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED DISTINCT string arrays (as produced by
+  * TokenSetExpr / NgramSetExpr / ShinglesExpr — binary UTF8String order)
+  * via a single merge scan: no per-row hash set, no materialized
+  * intersection array. Bit-identical to size(array_intersect(a, b)) for
+  * such inputs (verified in TextSetExprsSpec); the candidate-scoring
+  * stage evaluates this on every post-cut candidate pair, where
+  * array_intersect's per-row allocation was the hot path. */
+case class SortedOverlapCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextSetHelper.sortedOverlapCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextSetHelper.sortedOverlapCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** array<string> → array<long> MinHash signature (see [[SigHelper]]). */
 case class MinHashExpr(child: Expression, numPerms: Int) extends UnaryExpression {
   override def dataType: DataType =
@@ -314,4 +348,9 @@ object TextSetExprs {
     GraftExpressionBridge.column(MinHashExpr(GraftExpressionBridge.expression(c), numPerms))
   def simhash60(c: Column): Column =
     GraftExpressionBridge.column(SimHashExpr(GraftExpressionBridge.expression(c)))
+  /** |A ∩ B| for SORTED DISTINCT string arrays only — see
+    * [[SortedOverlapCountExpr]]. */
+  def sortedOverlapCount(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SortedOverlapCountExpr(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }

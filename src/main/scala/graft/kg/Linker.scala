@@ -114,6 +114,12 @@ case class LinkerConfig(
   */
 object Linker {
 
+  /** Max name rows for which the per-row idf_map table rides a broadcast
+    * in candidate scoring (~200 B/row ⇒ ≲200 MB at the bound — the same
+    * bounded-side policy as the collected hot-token set). Beyond it the
+    * shuffle join is the right cluster shape (bucketed index side). */
+  val BroadcastIdfMapsMaxRows: Long = 1000000L
+
   /** ES AUTO fuzziness: max edits allowed for a token of given length. */
   def autoFuzzEdits(len: Column): Column =
     when(len < 3, 0).when(len < 6, 1).otherwise(2)
@@ -435,12 +441,31 @@ object Linker {
   private def fuzzySingleAgg(md1: DataFrame, expansions: DataFrame,
                              postings: DataFrame, tokenDf: DataFrame,
                              commonDf: Long, idf: DataFrame): DataFrame = {
-    val triples = fuzzyPhase2(md1, postings, tokenDf, commonDf, expansions,
-      dedupTriples = false)
-    fuzzyAggregate(triples
+    // Dedup + self-token filtering run at the (mention, target-token)
+    // level — a table that is tiny BEFORE the posting join (tens of
+    // thousands of rows) — instead of on the millions of post-join
+    // triples: postings are unique per (token, name_row), so distinct
+    // (m, token) targets yield (m, n, token) triples with NO duplicates
+    // and the per-candidate stats reduce to a plain codegen count/sum.
+    // The old shape joined the mention-token array onto every triple and
+    // collect_set-deduped per candidate (an ObjectHashAggregate over ~8M
+    // struct rows at the 384k-page bench — half the fuzzy chain's cost).
+    // Semantics identical to fuzzyAggregate: distinct fuzzy tokens not in
+    // the mention's own token set, with their idf mass.
+    val rareExpansions = expansions
+      .join(tokenDf.filter(col("df") <= commonDf).select("token"), Seq("token"))
+    val mentionTok = md1
+      .select(col("mention_norm"), explode(col("mention_tokens")).as("mtok"))
+    val targets = mentionTok.join(rareExpansions, Seq("mtok"))
+      .select(col("mention_norm"), col("token")).distinct()
+      .join(mentionTok.select(col("mention_norm"), col("mtok").as("token")),
+        Seq("mention_norm", "token"), "left_anti")
+    targets
       .join(idf, Seq("token"), "left")
-      .join(md1.select(col("mention_norm"), col("mention_tokens")),
-        Seq("mention_norm")))
+      .join(postings, Seq("token"))
+      .groupBy(col("mention_norm"), col("name_row_id"))
+      .agg(count(lit(1)).as("n_f"),
+        sum(coalesce(col("idf"), lit(0.0))).as("idf_f"))
   }
 
   /** Candidate rows with match stats + every name-index column.
@@ -833,11 +858,34 @@ object Linker {
                    mdF.filter(size(col("mention_tokens")) === 1),
                    exps, index.postings, tokenDf, commonDf, idf))
              else fuzzySingleAgg(mdF, exps, index.postings, tokenDf, commonDf, idf)
-           }).localCheckpoint(eager = false) // consumed by cands AND stats join
+           }).localCheckpoint(eager = false) // overlaps the exact-gen chain
 
-        val cands = baseCands
-          .union(fuzzAgg.select(col("mention_norm"), col("name_row_id")))
-          .distinct()
+        // ONE exchange for the entire scoring chain: the candidate stream
+        // is hash-partitioned by mention_norm here and never moves again —
+        // the dedup-merge agg below, the mention-tokens join, the
+        // top-limit cut window, the es normalization window, the grams
+        // join and the final top-1 window all accept
+        // hashpartitioning(mention_norm) (their grouping/partition keys
+        // contain it). The pre-r4 shape re-exchanged the 4-5M row
+        // candidate stream three more times — (m,n) for dedup, (m,n)
+        // again for the fuzzy-stats left-outer join, (m) again for the
+        // cut — ~1.1 GB of extra shuffle write+read and 3 extra stage
+        // boundaries at 384k pages.
+        //
+        // The fuzzy stats MERGE rides the dedup aggregation instead of a
+        // join: exact arms carry (n_f=0, idf_f=0), the fuzzy arm carries
+        // its aggregated stats, and max() per (m,n) reproduces the old
+        // left-outer-join-then-coalesce exactly (fuzzAgg is unique per
+        // (m,n), exact arms contribute zeros). Spark plans joins only on
+        // full key equality, so a (m,n) join could never stay in the (m)
+        // partitioning — an aggregation can.
+        val candStats = baseCands
+          .select(col("mention_norm"), col("name_row_id"),
+            lit(0L).as("n_f"), lit(0.0).as("idf_f"))
+          .unionByName(fuzzAgg)
+          .repartition(col("mention_norm"))
+          .groupBy(col("mention_norm"), col("name_row_id"))
+          .agg(max(col("n_f")).as("n_f"), max(col("idf_f")).as("idf_f"))
 
         // stats from the token-set intersection (+ fuzzy-only tokens).
         // idf per matched token comes from a per-NAME-ROW token→idf map
@@ -845,24 +893,36 @@ object Linker {
         // available), so the per-candidate work is a pure array fold — no
         // explode / join / groupBy over candidates. The map's KEY SET is
         // exactly the name's token set, so one join serves both.
+        //
+        // JOIN ORDER keeps the fat idf_map column OFF the candidate-stream
+        // exchanges: attaching the map before the mention_norm repartition
+        // made every candidate row carry its name's token→idf map through
+        // a full shuffle (measured 1.2 GB written + read again at the
+        // 384k-page bench — the single largest exchange in the links DAG).
+        // Here the slim candidate stream picks up mention_tokens first;
+        // the bounded index-side map table then joins via BROADCAST (no
+        // exchange at all) and collapses to two scalars in the same stage.
+        // Past the broadcast bound the name_row_id shuffle join is the
+        // right cluster shape (bucketed index side) — and the map still
+        // never rides a candidate exchange, because the scalars project
+        // out within the join stage.
         val namesIdf = index.idfMaps.getOrElse(
           NameIndex.idfMaps(index.names, tokenDf, nRows.toLong))
-        val withSets = cands
-          .join(namesIdf, Seq("name_row_id"))
+        val namesIdfJ =
+          if (nRows <= BroadcastIdfMapsMaxRows) broadcast(namesIdf) else namesIdf
+        candStats
           .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
             Seq("mention_norm"))
+          .join(namesIdfJ, Seq("name_row_id"))
           .withColumn("shared",
             array_intersect(col("mention_tokens"), map_keys(col("idf_map"))))
           .withColumn("n_ex", size(col("shared")).cast("long"))
           .withColumn("idf_ex", aggregate(col("shared"), lit(0.0),
             (acc, t) => acc + coalesce(element_at(col("idf_map"), t), lit(0.0))))
-        withSets.select(col("mention_norm"), col("name_row_id"),
-            col("n_ex"), col("idf_ex"), size(col("mention_tokens")).as("m_ntok"))
-          .join(fuzzAgg, Seq("mention_norm", "name_row_id"), "left")
           .select(col("mention_norm"), col("name_row_id"),
-            (col("n_ex") + coalesce(col("n_f"), lit(0L))).as("matched_tokens"),
-            (col("idf_ex") + coalesce(col("idf_f"), lit(0.0))).as("idf_sum"),
-            col("m_ntok"))
+            (col("n_ex") + col("n_f")).as("matched_tokens"),
+            (col("idf_ex") + col("idf_f")).as("idf_sum"),
+            size(col("mention_tokens")).as("m_ntok"))
           .filter(col("matched_tokens") >= least(lit(2), col("m_ntok")))
           .drop("m_ntok")
       }

@@ -55,9 +55,12 @@ object Dedup {
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A∩B| via native merge scan (shingle sets are sorted distinct);
+      // |A∪B| = |A| + |B| − |A∩B| avoids materializing the union array
+      .withColumn("inter", graft.functions.TextSetExprs
+        .sortedOverlapCount(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 

@@ -5,11 +5,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only: A/B timing of the linkTop1 DAG over a committed bench work
-  * dir. args: workDir [cores]. */
+  * dir. args: workDir [cores] [comma-separated variants]. */
 object ProfileLinks2 {
   def main(args: Array[String]): Unit = {
     val work = args(0)
     val cores = args.lift(1).map(_.toInt).getOrElse(4)
+    val variants = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("pairgen", "singlegen", "pairgen2", "singlegen2"))
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUF", (4 * cores).toString))
@@ -52,12 +54,24 @@ object ProfileLinks2 {
       taskTime.set(0); gcTime.set(0); nTasks.set(0)
     }
 
-    for (variant <- Seq("pairgen", "singlegen", "pairgen2", "singlegen2")) {
-      val c2 = cfg.copy(fuzzyPairGen = variant.startsWith("pair"))
-      val t0 = System.nanoTime()
-      val n = Linker.linkTop1(spark, mentions, index, c2, 1.2).count()
-      metrics(variant, (System.nanoTime() - t0) / 1e9)
-      println("  links = " + n)
+    for (variant <- variants) {
+      if (variant == "exps") {
+        val md = Linker.distinctMentions(mentions)
+        val t0 = System.nanoTime()
+        val n = Linker.fuzzyExpansions(md, postings3g, ts, cfg).count()
+        metrics("exps", (System.nanoTime() - t0) / 1e9)
+        println("  expansions = " + n)
+      } else if (variant == "plan") {
+        println(Linker.linkTop1(spark, mentions, index, cfg, 1.2)
+          .queryExecution.executedPlan.toString)
+      } else {
+        val c2 = cfg.copy(fuzzyPairGen = variant.startsWith("pair"),
+          fuzzy = !variant.startsWith("nofuzzy"))
+        val t0 = System.nanoTime()
+        val n = Linker.linkTop1(spark, mentions, index, c2, 1.2).count()
+        metrics(variant, (System.nanoTime() - t0) / 1e9)
+        println("  links = " + n)
+      }
     }
     spark.stop()
   }

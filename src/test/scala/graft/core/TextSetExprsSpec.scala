@@ -89,6 +89,22 @@ class TextSetExprsSpec extends SparkSpec {
   check("shingles(3)", c => TextSetExprs.shingles(c, 3), c => shinglesCol(c, 3))
   check("shingles(2)", c => TextSetExprs.shingles(c, 2), c => shinglesCol(c, 2))
 
+  test("sortedOverlapCount ≡ size(array_intersect) on sorted set pairs") {
+    // pair every corpus string with its successor; compare on token sets,
+    // 3-gram sets and 2-shingle sets (all sorted distinct by construction)
+    val pairs = corpus.zip(corpus.drop(1) :+ corpus.head).toDF("x", "y")
+    for ((name, f) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        ("tokenSet", TextSetExprs.tokenSet),
+        ("ngramSet3", c => TextSetExprs.ngramSet(c, 3)),
+        ("shingles2", c => TextSetExprs.shingles(c, 2)))) {
+      val df = pairs.select(
+        TextSetExprs.sortedOverlapCount(f(col("x")), f(col("y"))).as("a"),
+        size(array_intersect(f(col("x")), f(col("y")))).as("b"))
+      val bad = df.filter(col("a") =!= col("b")).collect()
+      assert(bad.isEmpty, s"$name: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("whole-stage codegen keeps the span (no eval fallback in plan)") {
     val dir = java.nio.file.Files.createTempDirectory("tse").toString
     Seq("alpha beta gamma").toDF("s").write.parquet(s"$dir/t")
