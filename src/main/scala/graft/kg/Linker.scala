@@ -120,6 +120,17 @@ object Linker {
     * shuffle join is the right cluster shape (bucketed index side). */
   val BroadcastIdfMapsMaxRows: Long = 1000000L
 
+  /** Max DISTINCT mentions for which the per-mention token/gram sets ride
+    * a broadcast into the candidate-scoring joins (~300 B/row ⇒ ≲300 MB
+    * at the bound). The mention table sits just past Spark's default
+    * 10 MB auto-broadcast threshold at bench scale, so without the hint
+    * both scoring joins plan as SortMergeJoin — sorting the ~25M-row
+    * candidate stream (and the ~3M-row post-cut stream) on a string key
+    * for a ≤35 MB build side. Past the bound the shuffle join IS the
+    * right cluster shape: candidates are already hash-partitioned by
+    * mention_norm, so only the mention side moves. */
+  val BroadcastMentionsMaxRows: Long = 1000000L
+
   /** ES AUTO fuzziness: max edits allowed for a token of given length. */
   def autoFuzzEdits(len: Column): Column =
     when(len < 3, 0).when(len < 6, 1).otherwise(2)
@@ -764,6 +775,12 @@ object Linker {
   private def scoredFeatures(spark: SparkSession, mentions: DataFrame,
                              index: NameIndexTables, cfg: LinkerConfig): DataFrame = {
     val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
+    // bounded-side broadcast of the mention sets into the two candidate-
+    // stream joins (see BroadcastMentionsMaxRows); the count materializes
+    // the checkpoint, which every downstream chain needs first anyway
+    val nMentions = mentionsD.count()
+    def mentionsB(df: DataFrame): DataFrame =
+      if (nMentions <= BroadcastMentionsMaxRows) broadcast(df) else df
 
     // index-side stats: precomputed tables when the caller built them at
     // index time (Pipeline does), else derived here
@@ -911,7 +928,7 @@ object Linker {
         val namesIdfJ =
           if (nRows <= BroadcastIdfMapsMaxRows) broadcast(namesIdf) else namesIdf
         candStats
-          .join(mentionsD.select(col("mention_norm"), col("mention_tokens")),
+          .join(mentionsB(mentionsD.select(col("mention_norm"), col("mention_tokens"))),
             Seq("mention_norm"))
           .join(namesIdfJ, Seq("name_row_id"))
           .withColumn("shared",
@@ -1015,7 +1032,7 @@ object Linker {
         else col("es_raw")) // normalize_score=false: raw score (elastic.py:99)
       // fat name columns + mention sets only touch post-cut rows
       .join(namesFat, Seq("name_row_id"))
-      .join(mentionsD, Seq("mention_norm"))
+      .join(mentionsB(mentionsD), Seq("mention_norm"))
 
     // ---- similarity features (F2-F4) over the PRE-BUILT sets ----
     val feat = cut

@@ -92,9 +92,13 @@ object Pipeline {
       val path = s"$workDir/$name"
       if (committed(name)) return spark.read.parquet(path)
       val t0 = System.nanoTime()
+      // thread-local tag: stage jobs are attributable in the UI/event
+      // stream (each stage chain runs on its own driver thread)
+      spark.sparkContext.setJobDescription(s"graft-stage:$name")
       val df = compute.localCheckpoint(eager = true)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       commitFutures.add(Future {
+        spark.sparkContext.setJobDescription(s"graft-commit:$name")
         df.write.mode("overwrite").parquet(path)
         val out = spark.read.parquet(path)
         val lineage = out

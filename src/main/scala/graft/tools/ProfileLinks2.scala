@@ -64,6 +64,38 @@ object ProfileLinks2 {
       } else if (variant == "plan") {
         println(Linker.linkTop1(spark, mentions, index, cfg, 1.2)
           .queryExecution.executedPlan.toString)
+      } else if (variant == "xmetrics") {
+        // run, then walk the FINAL adaptive plan printing per-node
+        // metrics — finds which exchanges/sorts carry the bytes
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+        val df = Linker.linkTop1(spark, mentions, index, cfg, 1.2)
+        val qe = df.queryExecution
+        val n = qe.toRdd.count() // executes THIS plan (metrics accumulate on it)
+        println("  links = " + n)
+        def walk(p: SparkPlan, depth: Int): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+          case q: QueryStageExec => walk(q.plan, depth)
+          case r: ReusedExchangeExec =>
+            println(" " * depth + s"[reused] ${r.nodeName}")
+          case _ =>
+            val interesting = true
+            if (interesting) {
+              val ms = p.metrics.toSeq
+                .filter { case (k, m) => m.value > 0 &&
+                  (k.contains("rows") || k.contains("size") ||
+                    k.contains("bytes") || k.contains("spill") ||
+                    m.name.exists(n => n.contains("rows") || n.contains("size") ||
+                      n.contains("bytes") || n.contains("spill"))) }
+                .sortBy(_._1)
+                .map { case (k, m) => s"${m.name.getOrElse(k)}=${m.value}" }
+                .mkString(" | ")
+              if (ms.nonEmpty) println(" " * depth + s"${p.nodeName}: $ms")
+            }
+            p.children.foreach(walk(_, depth + 1))
+        }
+        walk(qe.executedPlan, 0)
       } else {
         val c2 = cfg.copy(fuzzyPairGen = variant.startsWith("pair"),
           fuzzy = !variant.startsWith("nofuzzy"))
