@@ -23,11 +23,14 @@ import org.apache.spark.sql.SparkSession
   *    statistic (min). The r3 one-shot rule (first run > 450 s ⇒ no
   *    repeats) disarmed the repeat machinery exactly when contention
   *    struck, and repeated only the fast leg — an asymmetry that biased
-  *    the ratio. At least TWO rounds always run; more (up to
-  *    SPARK_GRAFT_BENCH_REPEATS, default 3) while the total leg wall fits
-  *    SPARK_GRAFT_BENCH_BUDGET (default 3000 s). Budgeting total bench
-  *    time instead of first-sample wall means a contended first run BUYS
-  *    a repeat rather than forfeiting it.
+  *    the ratio. At least TWO rounds always run; rounds 3+ (up to
+  *    SPARK_GRAFT_BENCH_REPEATS, default 4) run ONLY while some leg's
+  *    sample spread exceeds SPARK_GRAFT_BENCH_STABLE_SPREAD (default 5%
+  *    — idle-machine spread is ±3%, contention shows as 30-50%) and the
+  *    total leg wall fits SPARK_GRAFT_BENCH_BUDGET (default 3000 s):
+  *    repeat budget is spent exactly when the samples prove contention.
+  *    Budgeting total bench time instead of first-sample wall means a
+  *    contended first run BUYS a repeat rather than forfeiting it.
   *  - INTERLEAVING: consecutive samples of one leg are ~a round apart, so
   *    a transient contention window cannot own every sample of one leg
   *    while sparing the other.
@@ -169,7 +172,7 @@ object Bench {
     // mention linearly, making the bench artificially quadratic
     def entitiesFor(pages: Int) = math.min(32000, math.max(400, pages / 6))
     val nEntities = entitiesFor(nPages)
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "4").toInt
     val legBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3000").toDouble
     val gatePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_PASSES", "2").toInt
     val want2x = sys.env.getOrElse("SPARK_GRAFT_BENCH_2X", "1") != "0"
@@ -253,8 +256,20 @@ object Bench {
     oneRound(2) // two complete rounds ALWAYS — a contended sample is the
                 // case repeats exist for; only rounds 3+ are budget-gated
     def projRound: Double = legCores.map(c => runsByLeg(c).map(_._2).min).sum
+    // ADAPTIVE rounds 3+: spend repeat budget exactly when the samples say
+    // contention struck. If every leg's relative spread (max/min − 1) is
+    // already tiny after two rounds, a third sample can only confirm what
+    // two agreeing samples established (idle-machine spread is ±3%); when
+    // any leg's spread exceeds the gate, at least one sample was contended
+    // and more rounds recover the uncontended min.
+    val stableSpread =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_SPREAD", "0.05").toDouble
+    def unstable: Boolean = legCores.exists { c =>
+      val rs = runsByLeg(c).map(_._2)
+      rs.max / rs.min - 1.0 > stableSpread
+    }
     var rounds = 2
-    while (rounds < maxRounds && legWall + projRound <= legBudget) {
+    while (rounds < maxRounds && unstable && legWall + projRound <= legBudget) {
       rounds += 1
       oneRound(rounds)
     }

@@ -62,6 +62,33 @@ object BenchLeg {
     (nTriples, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Leg-level diagnostics for the stderr side channel: where did the
+    * wall go — mutator task time, GC, or JIT compilation still running
+    * inside the timed window? Used to attribute run-to-run variance of
+    * a pinned leg (the JSON contract line stays sec+triples only). */
+  private final class Diag(spark: SparkSession) {
+    @volatile var taskSec = 0.0
+    @volatile var gcSec = 0.0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          taskSec += m.executorRunTime / 1e3
+          gcSec += m.jvmGCTime / 1e3
+        }
+      })
+    private def jitMs: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+    private var jit0 = 0L
+    def mark(): Unit = { taskSec = 0.0; gcSec = 0.0; jit0 = jitMs }
+    def report(tag: String, wall: Double): Unit =
+      System.err.println(
+        f"[bench-leg] $tag wall=$wall%.1f taskSec=$taskSec%.1f " +
+          f"gcSec=$gcSec%.1f jitSec=${(jitMs - jit0) / 1e3}%.1f")
+  }
+
   /** JIT/classload warmup: one pipeline pass over a tiny slice of the
     * same inputs (same code paths, negligible data). A fresh JVM
     * otherwise spends ~30-60 s compiling the Spark stack + generated
@@ -70,16 +97,21 @@ object BenchLeg {
     * (executors on a real cluster are warm long-running JVMs). */
   private def warmup(spark: SparkSession, pagesPath: String,
                      dumpPath: String, workDir: String): Unit = {
-    val dir = s"$workDir-warmup"
-    try {
-      val out = graft.kg.Pipeline.run(spark,
-        spark.read.parquet(pagesPath).limit(800),
-        spark.read.parquet(dumpPath).limit(300), dir)
-      out.triples.count()
-    } catch { case e: Exception =>
-      System.err.println(s"[bench-leg] warmup failed (non-fatal): $e")
-    } finally {
-      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", "800").toInt
+    val lines = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_LINES", "300").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PASSES", "1").toInt
+    (1 to passes).foreach { p =>
+      val dir = s"$workDir-warmup$p"
+      try {
+        val out = graft.kg.Pipeline.run(spark,
+          spark.read.parquet(pagesPath).limit(pages),
+          spark.read.parquet(dumpPath).limit(lines), dir)
+        out.triples.count()
+      } catch { case e: Exception =>
+        System.err.println(s"[bench-leg] warmup failed (non-fatal): $e")
+      } finally {
+        scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      }
     }
   }
 
@@ -87,8 +119,16 @@ object BenchLeg {
     val Array(pagesPath, dumpPath, workDir, coresStr) = args
     val cores = coresStr.toInt
     val spark = pipelineSession(cores)
-    warmup(spark, pagesPath, dumpPath, workDir)
+    val diag = new Diag(spark)
+    val (_, wWall) = {
+      val t0 = System.nanoTime()
+      warmup(spark, pagesPath, dumpPath, workDir)
+      ((), (System.nanoTime() - t0) / 1e9)
+    }
+    diag.report("warmup", wWall)
+    diag.mark()
     val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, workDir)
+    diag.report("main", sec)
     spark.stop()
     println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples}""")
   }
