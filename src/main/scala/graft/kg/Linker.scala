@@ -503,7 +503,7 @@ object Linker {
     * candidates (`_check_ids`) after the matched ones. */
   def lookup(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
              cfg: LinkerConfig = LinkerConfig()): DataFrame = {
-    val feat2 = scoredFeatures(spark, mentions, index, cfg)
+    val (feat2, mentionsDM) = scoredFeatures(spark, mentions, index, cfg)
     val popularity =
       if (cfg.normalizeScore) col("popularity_norm")
       else col("popularity_norm") * lit(index.maxPopularity.getOrElse(sys.error(
@@ -511,13 +511,13 @@ object Linker {
 
     // ---- A7 per-entity best-variant dedup: keep max (ed+jac); ties →
     //      first in result order (pos asc) ----
-    val wEnt = Window.partitionBy(col("mention_norm"), col("id"))
+    val wEnt = Window.partitionBy(col("mid"), col("id"))
       .orderBy((col("ed_score") + col("jaccard_score")).desc, col("pos").asc)
     val main = feat2
       .withColumn("variant_rank", row_number().over(wEnt))
       .filter(col("variant_rank") === 1)
       .select(
-        col("mention_norm"), col("id"), col("name"), col("description"),
+        col("mid"), col("mention_norm"), col("id"), col("name"), col("description"),
         col("types_text"),
         col("kind"), col("ner_type").as("NERtype"),
         col("explicit_types"), col("extended_types"),
@@ -546,19 +546,18 @@ object Linker {
         .join(forcedIds, Seq("id"), "left_semi")
         .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
 
-      val mentionsD = distinctMentions(mentions)
-      val perMention = main.groupBy(col("mention_norm")).agg(
+      val perMention = main.groupBy(col("mid")).agg(
         first(col("ambiguity_mention")).as("amb_m"),
         first(col("corrects_tokens")).as("cor_m"),
         max(col("rank")).as("max_rank"))
-      val missing = mentionsD.crossJoin(forcedIds)
-        .join(main.select("mention_norm", "id"), Seq("mention_norm", "id"), "left_anti")
+      val missing = mentionsDM.crossJoin(forcedIds)
+        .join(main.select("mid", "id"), Seq("mid", "id"), "left_anti")
 
-      val wForced = Window.partitionBy(col("mention_norm")).orderBy(col("req_pos"))
+      val wForced = Window.partitionBy(col("mid")).orderBy(col("req_pos"))
       val fetched = missing.join(oneRow, Seq("id"))
-        .join(perMention, Seq("mention_norm"), "left")
+        .join(perMention, Seq("mid"), "left")
         .select(
-          col("mention_norm"), col("id"), col("name"), col("description"),
+          col("mid"), col("mention_norm"), col("id"), col("name"), col("description"),
           col("types_text"),
           col("kind"), col("ner_type").as("NERtype"),
           col("explicit_types"), col("extended_types"),
@@ -587,22 +586,23 @@ object Linker {
     val typeNames = index.typeNames.getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("entity string, name string")))
-    val typeIds = full.select(col("mention_norm"), col("id"),
+    val typeIds = full.select(col("mid"), col("id"),
         posexplode_outer(filter(split(col("types_text"), " "), t => t =!= ""))
           .as(Seq("tpos", "tid")))
       .join(typeNames.select(col("entity").as("tid"), col("name").as("tname")),
         Seq("tid"), "left")
-      .groupBy(col("mention_norm"), col("id"))
+      .groupBy(col("mid"), col("id"))
       .agg(transform(
         array_sort(collect_list(when(col("tid").isNotNull,
           struct(col("tpos").as("p"),
             struct(col("tid").as("id"), coalesce(col("tname"), col("tid")).as("name"))
               .as("t"))))),
         e => e.getField("t")).as("types"))
-    full.join(typeIds, Seq("mention_norm", "id"), "left")
+    full.join(typeIds, Seq("mid", "id"), "left")
       .withColumn("types", coalesce(col("types"),
         array().cast("array<struct<id:string,name:string>>")))
       .drop("types_text")
+      .drop("mid")
   }
 
   /** One-shot pipeline linking: the scored-candidate core + a SINGLE
@@ -612,10 +612,10 @@ object Linker {
     * Output: (mention_norm, qid, link_score). */
   def linkTop1(spark: SparkSession, mentions: DataFrame, index: NameIndexTables,
                cfg: LinkerConfig, minScore: Double): DataFrame = {
-    val feat2 = scoredFeatures(spark, mentions, index, cfg)
+    val (feat2, _) = scoredFeatures(spark, mentions, index, cfg)
     val composite = col("ed_score") + col("jaccard_score") +
       col("jaccardNgram_score") + lit(0.5) * col("es_score")
-    val w = Window.partitionBy(col("mention_norm"))
+    val w = Window.partitionBy(col("mid"))
       .orderBy(composite.desc, col("popularity_norm").desc, col("id").asc)
     feat2
       .withColumn("link_score", composite)
@@ -772,15 +772,28 @@ object Linker {
 
   /** Shared core of lookup/linkTop1: candidate generation + filters +
     * cut + per-mention normalization + similarity features. */
+  /** Returns (features, mentionsD) — the distinct-mention table rides
+    * along so callers (the forced-ids path) reuse the SAME frozen `mid`
+    * assignment instead of re-deriving mentions. */
   private def scoredFeatures(spark: SparkSession, mentions: DataFrame,
-                             index: NameIndexTables, cfg: LinkerConfig): DataFrame = {
-    val mentionsD = distinctMentions(mentions).localCheckpoint(eager = false)
+                             index: NameIndexTables, cfg: LinkerConfig): (DataFrame, DataFrame) = {
+    // `mid`: a dense numeric surrogate for mention_norm, frozen by the
+    // checkpoint (the count below materializes it before any consumer, so
+    // every evaluation reads the same stored blocks). The candidate stream
+    // exchanges and window-partitions on THIS 8-byte key instead of the
+    // mention string — strings and token arrays never ride the big
+    // exchange or the pre-cut top-k sort; they re-attach via the bounded
+    // mention broadcast after aggregation (norm) / after the cut (sets).
+    val mentionsD = distinctMentions(mentions)
+      .withColumn("mid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
     // bounded-side broadcast of the mention sets into the two candidate-
     // stream joins (see BroadcastMentionsMaxRows); the count materializes
     // the checkpoint, which every downstream chain needs first anyway
     val nMentions = mentionsD.count()
     def mentionsB(df: DataFrame): DataFrame =
       if (nMentions <= BroadcastMentionsMaxRows) broadcast(df) else df
+    val midMap = mentionsD.select(col("mention_norm"), col("mid"))
 
     // index-side stats: precomputed tables when the caller built them at
     // index time (Pipeline does), else derived here
@@ -816,9 +829,14 @@ object Linker {
         val matches = if (cfg.fuzzy) exact.union(fuzzyFor(mentionsD)) else exact
         matches
           .join(idf, Seq("token"), "left")
-          .groupBy(col("mention_norm"), col("name_row_id"))
+          .join(mentionsB(midMap), Seq("mention_norm")) // map-side: str → mid
+          .select(col("mid"), col("name_row_id"), col("idf"))
+          .repartition(col("mid"))
+          .groupBy(col("mid"), col("name_row_id"))
           .agg(count(lit(1)).as("matched_tokens"),
             sum(coalesce(col("idf"), lit(0.0))).as("idf_sum"))
+          .join(mentionsB(mentionsD.select(col("mid"), col("mention_norm"))),
+            Seq("mid"))
       } else {
         // ---- pipeline generation (minimum_should_match = min(2, ntok)):
         // multi-token mentions generate via TOKEN-PAIR posting lists —
@@ -900,8 +918,10 @@ object Linker {
           .select(col("mention_norm"), col("name_row_id"),
             lit(0L).as("n_f"), lit(0.0).as("idf_f"))
           .unionByName(fuzzAgg)
-          .repartition(col("mention_norm"))
-          .groupBy(col("mention_norm"), col("name_row_id"))
+          .join(mentionsB(midMap), Seq("mention_norm")) // map-side: str → mid
+          .select(col("mid"), col("name_row_id"), col("n_f"), col("idf_f"))
+          .repartition(col("mid"))
+          .groupBy(col("mid"), col("name_row_id"))
           .agg(max(col("n_f")).as("n_f"), max(col("idf_f")).as("idf_f"))
 
         // stats from the token-set intersection (+ fuzzy-only tokens).
@@ -928,15 +948,17 @@ object Linker {
         val namesIdfJ =
           if (nRows <= BroadcastIdfMapsMaxRows) broadcast(namesIdf) else namesIdf
         candStats
-          .join(mentionsB(mentionsD.select(col("mention_norm"), col("mention_tokens"))),
-            Seq("mention_norm"))
+          .join(mentionsB(mentionsD.select(col("mid"), col("mention_norm"),
+            col("mention_tokens"))), Seq("mid"))
           .join(namesIdfJ, Seq("name_row_id"))
           .withColumn("shared",
             array_intersect(col("mention_tokens"), map_keys(col("idf_map"))))
           .withColumn("n_ex", size(col("shared")).cast("long"))
           .withColumn("idf_ex", aggregate(col("shared"), lit(0.0),
             (acc, t) => acc + coalesce(element_at(col("idf_map"), t), lit(0.0))))
-          .select(col("mention_norm"), col("name_row_id"),
+          // token array + idf map project OUT here — the pre-cut sort sees
+          // only (mid, norm, name_row_id, 2 scalars)
+          .select(col("mid"), col("mention_norm"), col("name_row_id"),
             (col("n_ex") + col("n_f")).as("matched_tokens"),
             (col("idf_ex") + col("idf_f")).as("idf_sum"),
             size(col("mention_tokens")).as("m_ntok"))
@@ -944,20 +966,35 @@ object Linker {
           .drop("m_ntok")
       }
 
-    // ---- names split: slim columns for filter/score/cut; fat columns
-    //      (arrays, description) joined only AFTER the top-k cut ----
-    val namesSlim = index.names.select(col("name_row_id"), col("id"),
-      col("name_clean"), col("kind"), col("ner_type"), col("explicit_types"),
-      col("extended_types"), col("languages"), col("popularity_norm"))
-    val namesFat = index.names.select(col("name_row_id"), col("name"),
-      col("description"), col("types_text"), col("ntoken"), col("length"),
-      col("name_tokens"), col("name_grams"))
+    // ---- names split: ranking columns always join BEFORE the cut;
+    //      filter/boost columns join pre-cut ONLY when this cfg references
+    //      them (the pipeline cfg references none — its 15.9M-row pre-cut
+    //      top-k sort then carries 5 scalars, not 3 type/language arrays
+    //      of dead payload); every other column — output taxonomy + fat
+    //      name/description/sets — joins AFTER the top-k cut, touching
+    //      only the ≤limit survivors per mention ----
+    val filterCols = Seq(
+      cfg.kind.map(_ => "kind"),
+      if (cfg.nerTypes.nonEmpty) Some("ner_type") else None,
+      if (cfg.types.nonEmpty) Some("explicit_types") else None,
+      if (cfg.extendedTypes.nonEmpty) Some("extended_types") else None,
+      cfg.language.map(_ => "languages")).flatten
+    val namesRank = index.names.select((Seq("name_row_id", "id", "name_clean",
+      "popularity_norm") ++ filterCols).map(col): _*)
+    // languages is filter-only (never in any output); the taxonomy columns
+    // the callers project are re-attached post-cut unless already present
+    val postCols = Seq("kind", "ner_type", "explicit_types", "extended_types")
+      .filterNot(filterCols.contains)
+    val namesFat = index.names.select((Seq("name_row_id", "name",
+      "description", "types_text", "ntoken", "length", "name_tokens",
+      "name_grams") ++ postCols).map(col): _*)
 
-    val cand = statsF.join(namesSlim, Seq("name_row_id"))
+    val cand = statsF.join(namesRank, Seq("name_row_id"))
 
     // ---- deterministic lexical raw score (es_score substitute) ----
-    val exactBoost = when(col("name_clean") === col("mention_norm") && !lit(cfg.fuzzy), 2.0)
-      .otherwise(1.0)
+    val exactBoost =
+      if (cfg.fuzzy) lit(1.0) // old form folded to 1.0 via && !lit(true)
+      else when(col("name_clean") === col("mention_norm"), 2.0).otherwise(1.0)
     val softBoost =
       if (!cfg.softFiltering) lit(0.0)
       else {
@@ -988,12 +1025,12 @@ object Linker {
     // ---- ambiguity features from the UNFILTERED match set (A5/A6,
     //      `_get_ambiguity_mention`:214-234, cut to top-limit by es_raw) ----
     def ambiguity = {
-      val wAmb = Window.partitionBy(col("mention_norm"))
+      val wAmb = Window.partitionBy(col("mid"))
         .orderBy(col("es_raw").desc, col("id").asc, col("name_clean").asc)
       scored0
         .withColumn("amb_rank", row_number().over(wAmb))
         .filter(col("amb_rank") <= cfg.limit)
-        .groupBy("mention_norm").agg(
+        .groupBy("mid").agg(
           (countDistinct(when(col("name_clean") === col("mention_norm"), col("id")))
             .cast("double") / countDistinct(col("id"))).as("ambiguity_mention"),
           (size(array_intersect(
@@ -1016,12 +1053,12 @@ object Linker {
     ).flatten.foldLeft(scored0)((df, p) => df.filter(p))
 
     // ---- popularity-sorted cut + pos/es normalization (O1/O2, F5/F6) ----
-    val wPop = Window.partitionBy(col("mention_norm"))
+    val wPop = Window.partitionBy(col("mid"))
       .orderBy(
         (if (cfg.cutByRelevance) col("es_raw") else col("popularity_norm")).desc,
         (if (cfg.cutByRelevance) col("popularity_norm") else col("es_raw")).desc,
         col("id").asc, col("name_clean").asc)
-    val wMention = Window.partitionBy(col("mention_norm"))
+    val wMention = Window.partitionBy(col("mid"))
     val cut = filtered0
       .withColumn("pos", row_number().over(wPop))
       .filter(col("pos") <= cfg.limit)
@@ -1032,7 +1069,7 @@ object Linker {
         else col("es_raw")) // normalize_score=false: raw score (elastic.py:99)
       // fat name columns + mention sets only touch post-cut rows
       .join(namesFat, Seq("name_row_id"))
-      .join(mentionsB(mentionsD), Seq("mention_norm"))
+      .join(mentionsB(mentionsD), Seq("mid", "mention_norm"))
 
     // ---- similarity features (F2-F4) over the PRE-BUILT sets ----
     val feat = cut
@@ -1042,9 +1079,11 @@ object Linker {
         Similarity.setOverlapScore(col("name_tokens"), col("mention_tokens")))
       .withColumn("jaccardNgram_score",
         Similarity.setOverlapScore(col("name_grams"), col("mention_grams")))
-    if (cfg.computeAmbiguity) feat.join(ambiguity, Seq("mention_norm"), "left")
-    else feat.withColumn("ambiguity_mention", lit(null).cast("double"))
-      .withColumn("corrects_tokens", lit(null).cast("double"))
+    val out =
+      if (cfg.computeAmbiguity) feat.join(ambiguity, Seq("mid"), "left")
+      else feat.withColumn("ambiguity_mention", lit(null).cast("double"))
+        .withColumn("corrects_tokens", lit(null).cast("double"))
+    (out, mentionsD)
   }
 
   /** Stage-9 linking decision: best accepted entity per mention.
@@ -1057,7 +1096,12 @@ object Linker {
   def linkBest(candidates: DataFrame, minScore: Double = 1.8): DataFrame = {
     val composite = col("ed_score") + col("jaccard_score") +
       col("jaccardNgram_score") + lit(0.5) * col("es_score")
-    val w = Window.partitionBy(col("mention_norm"))
+    // candidate tables straight from scoredFeatures carry `mid` (the same
+    // per-mention grouping, already the partitioning key — no exchange);
+    // external candidate tables (e.g. lookup output) group by the string
+    val pkey =
+      if (candidates.columns.contains("mid")) col("mid") else col("mention_norm")
+    val w = Window.partitionBy(pkey)
       .orderBy(composite.desc, col("popularity").desc, col("id").asc)
     candidates
       .withColumn("link_score", composite)
