@@ -101,10 +101,22 @@ object Pipeline {
         spark.sparkContext.setJobDescription(s"graft-commit:$name")
         df.write.mode("overwrite").parquet(path)
         val out = spark.read.parquet(path)
+        // xxhash64 hashes the row struct directly — rendering each row to
+        // JSON first built ~2 GB of throwaway strings per bench run across
+        // the fat stages. Map columns are hashed as their sorted entry
+        // arrays (hash expressions reject MAP inputs because map equality
+        // is order-insensitive; sorting the entries restores determinism).
+        val hashCols = out.schema.fields.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.MapType =>
+              array_sort(map_entries(col(f.name)))
+            case _ => col(f.name)
+          }
+        }
         val lineage = out
           .groupBy(spark_partition_id().as("part_id"))
           .agg(count(lit(1)).as("output_rows"),
-            bit_xor(xxhash64(to_json(struct(out.columns.map(col): _*)))).as("checksum"))
+            bit_xor(xxhash64(struct(hashCols.toSeq: _*))).as("checksum"))
           .withColumn("wall_ms", lit(wallMs))
           .select("part_id", "output_rows", "checksum", "wall_ms")
         // one partition dir per stage (hive-style, `stage` recovered as a
