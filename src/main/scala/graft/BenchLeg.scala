@@ -24,6 +24,26 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchLeg {
 
+  /** RAM-backed scratch root for bench corpora, stage workdirs and Spark
+    * local dirs (shuffle files, spills, localCheckpoint disk tier).
+    *
+    * Why not /tmp: on a real N-executor cluster every executor brings its
+    * own local NVMe — scratch bandwidth SCALES with cluster size. This
+    * sandbox has one shared virtio disk whose measured throughput is both
+    * slower than tmpfs (~0.4-0.7 vs ~2.5 GB/s) and drifts ~1.7× between
+    * consecutive identical writes; leaving scratch on it makes the leg
+    * comparison measure the disk's minute-to-minute mood, not the job
+    * (measured: the identical pinned 4-core leg 145-295 s on disk vs
+    * 117 s on tmpfs, with task-seconds inflating in step). RAM-backed
+    * scratch restores the per-executor-scaling property the N-vs-4N
+    * comparison assumes. Override with SPARK_GRAFT_BENCH_SCRATCH. */
+  private[graft] def scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SCRATCH", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    })
+
   /** Pipeline-tuned session (shared with Bench's in-process fallback):
     * FIXED shuffle partitioning (default 16 = 4× the high leg's cores,
     * override via SPARK_GRAFT_BENCH_SHUFFLE_PARTS) with AQE
@@ -38,14 +58,25 @@ object BenchLeg {
     * few-hundred-MB corpus still scans with `cores` tasks. */
   def pipelineSession(cores: Int): SparkSession = {
     val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE_PARTS", "16").toInt
+    // RAM-backed shuffle/spill dir (see scratchRoot); honor an explicit
+    // -Dspark.local.dir (forked legs get a per-run dir from Bench), else
+    // a per-pid dir cleaned on JVM exit
+    val localDir = sys.props.getOrElse("spark.local.dir", {
+      val d = s"$scratchRoot/graft-leg-local-${ProcessHandle.current().pid()}"
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()))
+      d
+    })
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-leg-$cores")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()

@@ -7,11 +7,11 @@ CORES=${1:-4}
 N=${2:-5}
 CPUSET=${3:-}
 CP=$(cat /tmp/graft_cp.txt)
-PAGES=/tmp/graft-c384/pages
-DUMP=/tmp/graft-c384/dump
+PAGES=${GRAFT_PAGES:-/dev/shm/graft-c384/pages}
+DUMP=${GRAFT_DUMP:-/dev/shm/graft-c384/dump}
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 for i in $(seq 1 "$N"); do
-  WORK=/tmp/leg-loop-$$-$i
+  WORK=${GRAFT_WORKROOT:-/dev/shm}/leg-loop-$$-$i
   if [ -n "$CPUSET" ]; then CS=$CPUSET; else
     # rotate across distinct idle-ish sets like the harness would
     CS=$(python3 - "$CORES" <<'EOF'
