@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   *    repeats) disarmed the repeat machinery exactly when contention
   *    struck, and repeated only the fast leg — an asymmetry that biased
   *    the ratio. At least TWO rounds always run; rounds 3+ (up to
-  *    SPARK_GRAFT_BENCH_REPEATS, default 4) run ONLY while some leg's
+  *    SPARK_GRAFT_BENCH_REPEATS, default 6) run ONLY while some leg's
   *    sample spread exceeds SPARK_GRAFT_BENCH_STABLE_SPREAD (default 5%
   *    — idle-machine spread is ±3%, contention shows as 30-50%) and the
   *    total leg wall fits SPARK_GRAFT_BENCH_BUDGET (default 3000 s):
@@ -55,6 +55,10 @@ import org.apache.spark.sql.SparkSession
   * floor); this measures that claim instead of extrapolating it.
   */
 object Bench {
+
+  /** One leg sample: wall seconds, emitted triples, and the leg's summed
+    * executor task time (0 when the in-process fallback ran). */
+  private case class Run(triples: Long, sec: Double, taskSec: Double)
 
   private def gateSession(cpus: Int, localDir: String): SparkSession = {
     val s = SparkSession.builder()
@@ -127,7 +131,7 @@ object Bench {
   /** Fork one pinned leg JVM; returns (triples, sec) from its JSON line,
     * or None if the fork could not run (missing taskset, bad classpath). */
   private def forkLeg(pagesPath: String, dumpPath: String, workDir: String,
-                      cores: Int): Option[(Long, Double)] = {
+                      cores: Int): Option[Run] = {
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
     if (cp == null || !cp.contains("classes")) return None
@@ -158,9 +162,10 @@ object Bench {
         System.err.println(s"[bench] forked leg cores=$cores rc=$rc; out=$out")
         return None
       }
-      val re = """"sec":([0-9.]+),"triples":(\d+)""".r
+      val re = """"sec":([0-9.]+),"triples":(\d+)(?:,"task_sec":([0-9.]+))?""".r
       re.findFirstMatchIn(line.get).map(m =>
-        (m.group(2).toLong, m.group(1).toDouble))
+        Run(m.group(2).toLong, m.group(1).toDouble,
+          Option(m.group(3)).map(_.toDouble).getOrElse(0.0)))
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] fork failed (${e.getMessage}); " +
@@ -182,7 +187,11 @@ object Bench {
     // mention linearly, making the bench artificially quadratic
     def entitiesFor(pages: Int) = math.min(32000, math.max(400, pages / 6))
     val nEntities = entitiesFor(nPages)
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "4").toInt
+    // 6 rounds max (was 4): host drift is the dominant error source and
+    // min-of-k only converges if some sample of EACH leg lands in the
+    // fast regime; rounds stay spread-gated, so an idle box still stops
+    // after 2
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "6").toInt
     val legBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3000").toDouble
     val gatePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_PASSES", "2").toInt
     val want2x = sys.env.getOrElse("SPARK_GRAFT_BENCH_2X", "1") != "0"
@@ -239,7 +248,7 @@ object Bench {
     val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     var legWall = 0.0 // total wall spent inside legs (budget currency)
-    def runOnce(cores: Int, tag: String, pp: String, dp: String): (Long, Double) = {
+    def runOnce(cores: Int, tag: String, pp: String, dp: String): Run = {
       try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
       catch { case _: Exception => }
       val work = s"$benchRoot/work-$tag-$cores"
@@ -247,12 +256,12 @@ object Bench {
         val s = BenchLeg.pipelineSession(cores)
         val res = BenchLeg.runLeg(s, pp, dp, work)
         s.stop()
-        res
+        Run(res._1, res._2, 0.0)
       }
       // stage outputs are per-leg scratch; drop them so repeats can't
       // resume from markers and multi-leg runs don't fill /tmp
       scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
-      legWall += r._2
+      legWall += r.sec
       r
     }
     // Machine throughput in this sandbox drifts ±30-50% BETWEEN runs of
@@ -261,7 +270,7 @@ object Bench {
     // — min-of-k estimates the uncontended machine, which is what a
     // cluster-size comparison needs; every sample is in the JSON
     // (`runs_sec`) so the spread stays visible.
-    val runsByLeg = scala.collection.mutable.Map[Int, Vector[(Long, Double)]]()
+    val runsByLeg = scala.collection.mutable.Map[Int, Vector[Run]]()
       .withDefaultValue(Vector.empty)
     def oneRound(round: Int): Unit =
       legCores.foreach { c =>
@@ -270,7 +279,7 @@ object Bench {
     oneRound(1)
     oneRound(2) // two complete rounds ALWAYS — a contended sample is the
                 // case repeats exist for; only rounds 3+ are budget-gated
-    def projRound: Double = legCores.map(c => runsByLeg(c).map(_._2).min).sum
+    def projRound: Double = legCores.map(c => runsByLeg(c).map(_.sec).min).sum
     // ADAPTIVE rounds 3+: spend repeat budget exactly when the samples say
     // contention struck. If every leg's relative spread (max/min − 1) is
     // already tiny after two rounds, a third sample can only confirm what
@@ -280,7 +289,7 @@ object Bench {
     val stableSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_SPREAD", "0.05").toDouble
     def unstable: Boolean = legCores.exists { c =>
-      val rs = runsByLeg(c).map(_._2)
+      val rs = runsByLeg(c).map(_.sec)
       rs.max / rs.min - 1.0 > stableSpread
     }
     var rounds = 2
@@ -290,12 +299,14 @@ object Bench {
     }
 
     case class Leg(cores: Int, sec: Double, pagesPerSec: Double,
-                   triplesPerSec: Double, triples: Long, runs: Seq[Double])
-    def summarize(runs: Map[Int, Vector[(Long, Double)]], pages: Int): Seq[Leg] =
+                   triplesPerSec: Double, triples: Long, runs: Seq[Double],
+                   taskSec: Double)
+    def summarize(runs: Map[Int, Vector[Run]], pages: Int): Seq[Leg] =
       legCores.map { c =>
         val rs = runs(c)
-        val (nTriples, sec) = rs.minBy(_._2)
-        Leg(c, sec, pages / sec, nTriples / sec, nTriples, rs.map(_._2))
+        val best = rs.minBy(_.sec)
+        Leg(c, best.sec, pages / best.sec, best.triples / best.sec,
+          best.triples, rs.map(_.sec), best.taskSec)
       }
     def efficiency(legs: Seq[Leg]): Double =
       (legs.last.triplesPerSec / legs.head.triplesPerSec) /
@@ -325,7 +336,11 @@ object Bench {
       .mkString("{", ",", "}")
     def legsJson(ls: Seq[Leg]): String = ls.map { l =>
       val runsJson = l.runs.map(r => f"$r%.2f").mkString("[", ",", "]")
-      f""""local${l.cores}":{"sec":${l.sec}%.2f,"pages_per_sec":${l.pagesPerSec}%.1f,"triples_per_sec":${l.triplesPerSec}%.1f,"triples":${l.triples},"runs_sec":$runsJson}"""
+      // task_sec (best run): near-equal across legs = the job does the
+      // SAME work at both cluster sizes; the residual wall-ratio gap is
+      // shared single-box memory bandwidth, not poor parallelism
+      val taskJson = if (l.taskSec > 0) f""","task_sec":${l.taskSec}%.1f""" else ""
+      f""""local${l.cores}":{"sec":${l.sec}%.2f,"pages_per_sec":${l.pagesPerSec}%.1f,"triples_per_sec":${l.triplesPerSec}%.1f,"triples":${l.triples},"runs_sec":$runsJson$taskJson}"""
     }.mkString(",")
     val json2x = legs2x.map { case (ls, e2) =>
       f""","corpus_2x":{"pages":$pages2x,${legsJson(ls)},"scaling_efficiency":$e2%.3f}"""
