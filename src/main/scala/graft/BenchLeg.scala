@@ -17,10 +17,16 @@ import org.apache.spark.sql.SparkSession
   *    runs later (the r2 driver run's local[4] leg was 2× the same
   *    config in a fresh JVM).
   *
-  * args: pagesPath dumpPath workDir cores. Prints ONE JSON line:
-  * {"cores":N,"sec":S,"triples":T} (wall time covers Pipeline.run +
-  * the triples count, measured after the session is up — cluster-size
-  * comparisons should not include JVM/session boot).
+  * args: pagesPath dumpPath workDir cores. env SPARK_GRAFT_LEG_WARMUP
+  * (full|short|skip, set by the parent from its remaining deadline)
+  * sizes the JIT warmup. Prints ONE JSON contract line parsed by Bench:
+  * {"cores":N,"sec":S,"triples":T,"task_sec":A,"gc_sec":G,"jit_sec":J,
+  *  "warmup":"full|short|skip","warmup_sec":W}
+  * where sec (wall for Pipeline.run + triples count, after the session
+  * is up — cluster-size comparisons should not include JVM/session
+  * boot) is the measurement and the rest is regime evidence: task_sec
+  * near-parity across legs shows the job does the same work at both
+  * cluster sizes, gc/jit attribute any wall residue.
   */
 object BenchLeg {
 
@@ -36,13 +42,40 @@ object BenchLeg {
     * (measured: the identical pinned 4-core leg 145-295 s on disk vs
     * 117 s on tmpfs, with task-seconds inflating in step). RAM-backed
     * scratch restores the per-executor-scaling property the N-vs-4N
-    * comparison assumes. Override with SPARK_GRAFT_BENCH_SCRATCH. */
-  private[graft] def scratchRoot: String =
+    * comparison assumes. tmpfs is typically capped at 50% RAM and must
+    * hold the 2× corpus plus shuffle/spill, so /dev/shm is only chosen
+    * when it has comfortable headroom (ENOSPC mid-leg on a tight box
+    * would be worse than the disk's drift). Override with
+    * SPARK_GRAFT_BENCH_SCRATCH. */
+  private[graft] lazy val scratchRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_SCRATCH", {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm"
-      else System.getProperty("java.io.tmpdir", "/tmp")
+      val needBytes = 16L << 30 // 768k-page corpus ~2 GB + shuffle/spill headroom
+      val root =
+        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= needBytes)
+          "/dev/shm"
+        else System.getProperty("java.io.tmpdir", "/tmp")
+      System.err.println(s"[bench] scratch root: $root")
+      root
     })
+
+  /** Delete scratch left by a SIGKILLed prior run (shutdown hooks don't
+    * fire on SIGKILL, and stale tmpfs dirs pin RAM until reboot). Called
+    * once at Bench startup, before this run's own dirs exist; the driver
+    * runs one bench at a time, so any matching dir is dead. */
+  private[graft] def sweepStaleScratch(): Unit = {
+    val self = s"-${ProcessHandle.current().pid()}"
+    val fs = Option(new java.io.File(scratchRoot).listFiles()).getOrElse(Array.empty)
+    fs.foreach { f =>
+      val n = f.getName
+      if ((n.startsWith("graft-bench-") || n.startsWith("graft-leg-local-"))
+          && !n.endsWith(self)) {
+        System.err.println(s"[bench] sweeping stale scratch ${f.getPath}")
+        try scala.reflect.io.Directory(f).deleteRecursively()
+        catch { case _: Exception => }
+      }
+    }
+  }
 
   /** Pipeline-tuned session (shared with Bench's in-process fallback):
     * FIXED shuffle partitioning (default 16 = 4× the high leg's cores,
@@ -63,8 +96,13 @@ object BenchLeg {
     // a per-pid dir cleaned on JVM exit
     val localDir = sys.props.getOrElse("spark.local.dir", {
       val d = s"$scratchRoot/graft-leg-local-${ProcessHandle.current().pid()}"
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      // hook registration throws if the JVM is ALREADY shutting down —
+      // exactly the in-process-fallback-after-SIGTERM path; a missed
+      // cleanup beats the r4 crash (IllegalStateException at this line
+      // was the uncaught exception in the BENCH_r04 tail)
+      try Runtime.getRuntime.addShutdownHook(new Thread(() =>
         scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()))
+      catch { case _: IllegalStateException => () }
       d
     })
     val s = SparkSession.builder()
@@ -93,10 +131,12 @@ object BenchLeg {
     (nTriples, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Leg-level diagnostics for the stderr side channel: where did the
-    * wall go — mutator task time, GC, or JIT compilation still running
-    * inside the timed window? Used to attribute run-to-run variance of
-    * a pinned leg (the JSON contract line stays sec+triples only). */
+  /** Leg-level diagnostics: where did the wall go — mutator task time,
+    * GC, or JIT compilation still running inside the timed window? The
+    * task/gc/jit figures ride the JSON contract line (object header
+    * above) as regime evidence; per-phase breakdowns also go to stderr.
+    * Counter windows are made exact by draining the async listener bus
+    * at both edges (GraftListenerBridge). */
   private final class Diag(spark: SparkSession) {
     @volatile var taskSec = 0.0
     @volatile var gcSec = 0.0
@@ -113,11 +153,17 @@ object BenchLeg {
       java.lang.management.ManagementFactory.getCompilationMXBean
         .getTotalCompilationTime
     private var jit0 = 0L
-    def mark(): Unit = { taskSec = 0.0; gcSec = 0.0; jit0 = jitMs }
+    def mark(): Unit = {
+      org.apache.spark.GraftListenerBridge.drainListeners(spark.sparkContext)
+      taskSec = 0.0; gcSec = 0.0; jit0 = jitMs
+    }
+    def jitSinceMark: Double = (jitMs - jit0) / 1e3
+    def settle(): Unit =
+      org.apache.spark.GraftListenerBridge.drainListeners(spark.sparkContext)
     def report(tag: String, wall: Double): Unit =
       System.err.println(
         f"[bench-leg] $tag wall=$wall%.1f taskSec=$taskSec%.1f " +
-          f"gcSec=$gcSec%.1f jitSec=${(jitMs - jit0) / 1e3}%.1f")
+          f"gcSec=$gcSec%.1f jitSec=$jitSinceMark%.1f")
   }
 
   /** JIT/classload warmup: one pipeline pass over a tiny slice of the
@@ -125,11 +171,16 @@ object BenchLeg {
     * otherwise spends ~30-60 s compiling the Spark stack + generated
     * code INSIDE the timed window — a fixed cost that lands in the
     * parallelism-independent floor and corrupts the N-vs-4N comparison
-    * (executors on a real cluster are warm long-running JVMs). */
+    * (executors on a real cluster are warm long-running JVMs). Sizing is
+    * deadline-aware via the parent-chosen mode: "full" (800 pages) when
+    * time is comfortable, "short" (200) when thin, "skip" when a cold
+    * leg with ~40-90 s of in-window JIT beats having no leg at all —
+    * the mode rides the contract line so the caveat stays visible. */
   private def warmup(spark: SparkSession, pagesPath: String,
-                     dumpPath: String, workDir: String): Unit = {
-    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", "800").toInt
-    val lines = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_LINES", "300").toInt
+                     dumpPath: String, workDir: String, mode: String): Unit = {
+    val (defPages, defLines) = if (mode == "short") (200, 80) else (800, 300)
+    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", defPages.toString).toInt
+    val lines = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_LINES", defLines.toString).toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PASSES", "1").toInt
     (1 to passes).foreach { p =>
       val dir = s"$workDir-warmup$p"
@@ -147,25 +198,30 @@ object BenchLeg {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(pagesPath, dumpPath, workDir, coresStr) = args
     val cores = coresStr.toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_LEG_WARMUP", "full")
     val spark = pipelineSession(cores)
     val diag = new Diag(spark)
-    val (_, wWall) = {
-      val t0 = System.nanoTime()
-      warmup(spark, pagesPath, dumpPath, workDir)
-      ((), (System.nanoTime() - t0) / 1e9)
-    }
+    val wWall =
+      if (mode == "skip") 0.0
+      else {
+        val t0 = System.nanoTime()
+        warmup(spark, pagesPath, dumpPath, workDir, mode)
+        (System.nanoTime() - t0) / 1e9
+      }
     diag.report("warmup", wWall)
     diag.mark()
     val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, workDir)
+    diag.settle()
     diag.report("main", sec)
     spark.stop()
-    // task_sec: summed executor task wall across the leg — scaling
-    // EVIDENCE: near-equal task_sec at 1 and 4 cores shows the job does
-    // the same work at both cluster sizes and any wall-ratio shortfall
-    // is shared single-box hardware (memory bandwidth), which a real
-    // multi-host cluster does not share
-    println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples,"task_sec":${diag.taskSec}%.1f}""")
+    // contract line (see object header): sec+triples are the measurement;
+    // task/gc/jit/warmup are the regime evidence the artifact carries so
+    // a sub-1.0 efficiency is attributable (near-equal task_sec across
+    // legs = same work at both cluster sizes; the residual wall-ratio gap
+    // is shared single-box memory bandwidth, not poor parallelism)
+    println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples,"task_sec":${diag.taskSec}%.1f,"gc_sec":${diag.gcSec}%.1f,"jit_sec":${diag.jitSinceMark}%.1f,"warmup":"$mode","warmup_sec":$wWall%.1f}""")
   }
 }

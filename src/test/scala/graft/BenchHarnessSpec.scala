@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-logic tests for the bench harness: the artifact line must be
+  * valid JSON, complete at every emission point, and short enough to
+  * survive the driver's 2000-char tail window; scheduling helpers must
+  * project and shed sanely. (The fork/kill behavior is exercised
+  * end-to-end by tools/bench rehearsals, not unit tests.) */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def parse(line: String) = om.readTree(line)
+
+  // worst-case-ish gate map: 45 real query names, contended 3-digit values
+  private val gateNames = Seq(
+    "q_agg_pricing", "q_ann_ivf", "q_ann_lsh", "q_ann_topk", "q_anti_join",
+    "q_cb_parse", "q_clean_str", "q_closure", "q_column_analysis",
+    "q_components", "q_dedup_exact", "q_dedup_jaccard", "q_detect_mentions",
+    "q_distinct_flags", "q_dot_abbreviations", "q_edit_distance",
+    "q_embed_lsh", "q_embed_pairs", "q_except_nations", "q_extract_text",
+    "q_fingerprint", "q_join_agg", "q_lang_id", "q_literal_classify",
+    "q_lookup_candidates", "q_lookup_fuzzy", "q_lookup_ids",
+    "q_media_features", "q_mention_ner", "q_minhash_pairs",
+    "q_name_index_features", "q_ngram_jaccard", "q_parse_literals",
+    "q_parse_objects", "q_pos_score", "q_quality", "q_semi_join",
+    "q_simhash_pairs", "q_summary_topk", "q_token_count", "q_token_jaccard",
+    "q_topk_acctbal", "q_union_nations", "q_window_running", "q_winnow")
+  private val gates = gateNames.map(n => n -> 110.354)
+
+  private def leg(cores: Int, sec: Double, nRuns: Int, tps: Double,
+                  warmup: String = "full") =
+    Bench.LegStat(cores, sec, tps, sec * 0.9, 30.5, 253.1,
+      Vector.fill(nRuns)(sec * 1.37), warmup, fallback = false)
+
+  private def fullState = Seq(
+    Bench.PointStat("pages24k", 24000,
+      Seq(leg(1, 79.9, 3, 284.1), leg(4, 22.8, 3, 996.2, "short"))),
+    Bench.PointStat("pages384k", 384000,
+      Seq(leg(1, 304.8, 6, 1193.6), leg(4, 104.6, 6, 3477.5))),
+    Bench.PointStat("pages768k", 768000,
+      Seq(leg(1, 506.4, 1, 1437.2), leg(4, 188.6, 1, 3859.3))))
+
+  test("full-state line: valid JSON, under the tail budget, all evidence present") {
+    val line = Bench.buildLine(gates, "/root/testdata/sf0.1", fullState,
+      "pages384k", Some((5.81, 18.84)), 2, 1480.7, 1500.0,
+      Seq("corpus_2x", "gates_pass2", "leg_pages768k_c4"))
+    assert(!line.contains("\n"))
+    assert(line.length <= Bench.MaxLineChars,
+      s"line is ${line.length} chars:\n$line")
+    val j = parse(line)
+    assert(j.get("metric").asText == "total")
+    assert(math.abs(j.get("value").asDouble - 110.354 * 45) < 1.0)
+    assert(j.get("queries").size == 45)
+    val p = j.get("pipeline")
+    // legs shown are the primary point's
+    assert(p.get("pages").asInt == 384000)
+    assert(p.get("entities").asInt == 32000)
+    assert(p.get("local1").get("sec").asDouble == 304.8)
+    assert(p.get("local4").get("runs_sec").size == 6)
+    for (k <- Seq("task_sec", "gc_sec", "jit_sec"))
+      assert(p.get("local1").has(k), s"local1 missing $k")
+    // headline = best point (24k here), named
+    val eff24 = (996.2 / 284.1) / 4
+    assert(math.abs(p.get("scaling_efficiency").asDouble - eff24) < 0.001)
+    assert(p.get("scaling_source").asText == "pages24k")
+    assert(p.get("points").size == 3)
+    assert(math.abs(p.get("mem_probe").get("scaling").asDouble -
+      18.84 / 5.81 / 4) < 0.001)
+    assert(p.get("shed").size == 3)
+    assert(p.get("gate_passes").asInt == 2)
+  }
+
+  test("non-full warmup and fallback are tagged on the shown legs") {
+    val st = Seq(Bench.PointStat("pages24k", 24000, Seq(
+      leg(1, 79.9, 2, 284.1, warmup = "skip"),
+      Bench.LegStat(4, 22.8, 996.2, 0, 0, 0, Vector(22.8), "inproc",
+        fallback = true))))
+    val p = parse(Bench.buildLine(gates, "sf", st, "pages384k", None, 1,
+      10, 1500, Nil)).get("pipeline")
+    assert(p.get("local1").get("warmup").asText == "skip")
+    assert(p.get("local4").get("fallback").asBoolean)
+  }
+
+  test("empty state (killed before any work) still emits a complete line") {
+    val j = parse(Bench.buildLine(Nil, "/root/testdata/sf0.1", Nil,
+      "pages384k", None, 0, 3.2, 1500.0, Nil))
+    assert(j.get("value").asDouble == 0.0)
+    assert(j.get("queries").size == 0)
+    assert(j.get("pipeline").get("gate_passes").asInt == 0)
+    assert(!j.get("pipeline").has("scaling_efficiency"))
+  }
+
+  test("single-leg point (mid-round kill) emits without an efficiency") {
+    val st = Seq(Bench.PointStat("pages24k", 24000, Seq(leg(1, 79.9, 1, 284.1))))
+    val p = parse(Bench.buildLine(gates, "sf", st, "pages384k", None, 0,
+      100, 1500, Nil)).get("pipeline")
+    assert(p.get("local1").get("sec").asDouble == 79.9)
+    assert(!p.has("local4"))
+    assert(!p.has("scaling_efficiency"))
+    assert(Bench.PointStat("pages24k", 24000, Seq(leg(1, 79.9, 1, 284.1))).eff.isEmpty)
+  }
+
+  test("warmup mode degrades with the remaining deadline") {
+    assert(Bench.warmupMode(1000, 300) == "full")
+    assert(Bench.warmupMode(470, 300) == "short")
+    assert(Bench.warmupMode(350, 300) == "skip")
+  }
+
+  test("projection: own samples dominate; cross-corpus scales sublinearly") {
+    val pages = Map("pages24k" -> 24000, "pages384k" -> 384000,
+      "pages768k" -> 768000)
+    val s = Map(("pages24k", 1) -> Vector((80.0, 60.0), (95.0, 65.0)))
+    // own worst sample * 1.1
+    assert(math.abs(Bench.projectLeg(s, pages, "pages24k", 1) - 160.0 * 1.1) < 1e-9)
+    // cross-corpus: main * 16^0.62 + overhead, * 1.25 — must stay well
+    // under a linear 16x blowup (which would shed a point that fits) yet
+    // above the measured ~3.8x cost
+    val p384 = Bench.projectLeg(s, pages, "pages384k", 1)
+    assert(p384 > 95.0 * 3.8 && p384 < (95.0 * 16 + 65) * 1.25 / 2, s"p384=$p384")
+    // no samples for this core count: prior, not an exception
+    assert(Bench.projectLeg(s, pages, "pages384k", 4) > 0)
+  }
+
+  test("entity cap: fixed-KG production shape") {
+    assert(Bench.entitiesFor(24000) == 4000)
+    assert(Bench.entitiesFor(384000) == 32000)
+    assert(Bench.entitiesFor(768000) == 32000)
+    assert(Bench.entitiesFor(100) == 400)
+  }
+
+  test("memory probe returns sane bandwidth figures") {
+    val (s1, s4) = Bench.memProbe()
+    assert(s1 > 0.2, s"single-thread $s1 GB/s implausibly low")
+    assert(s4 > s1 * 0.8, s"4-thread aggregate $s4 below single $s1")
+    assert(s4 / s1 / 4 <= 1.3, "scaling above 1 beyond noise")
+  }
+}
