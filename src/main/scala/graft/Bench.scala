@@ -25,16 +25,19 @@ import org.apache.spark.sql.SparkSession
   *   1. ~4 s memory-bandwidth probe: the box's own 1→4-thread memcpy
   *      scaling (measured ~0.81 on this host) — the hardware-ceiling
   *      context that makes a recorded 0.7x efficiency self-interpreting;
-  *   2. 24k-page fast-window point, 2 interleaved rounds: a scaling
-  *      number exists in the artifact within the first few minutes;
+  *   2. 24k-page fast-window point, ONE round: a scaling number exists
+  *      in the artifact within the first few minutes;
   *   3. gate-query suite (pass 1; the min-of-2 second pass runs
   *      immediately only if pass 1 was uncontended, else it is deferred
   *      behind the primary point);
-  *   4. 384k-page primary point, 2 interleaved rounds;
+  *   4. 384k-page primary point, 2 interleaved rounds (round 2 at a
+  *      0.8 projection margin — a truncated round cannot bias the
+  *      ratio, see the symmetric-truncation note on pointStats);
   *   5. optional work in keep-priority order, each unit gated on a
   *      projected-fit check against measured samples: deferred gate
-  *      pass 2 → 2× corpus point → spread-gated extra rounds. What gets
-  *      shed is recorded in the artifact ("shed").
+  *      pass 2 → fast-window round 2 → 2× corpus point → spread-gated
+  *      extra primary rounds → extra fast-window rounds. What gets shed
+  *      is recorded in the artifact ("shed").
   *
   * Kill semantics (r4: a SIGTERM'd fork silently became an unpinned
   * in-process leg, which then crashed): a forked leg that dies on a kill
@@ -118,33 +121,61 @@ object Bench {
   private[graft] def entitiesFor(pages: Int): Int =
     math.min(32000, math.max(400, pages / 6))
 
+  /** Per-leg stats with SYMMETRIC TRUNCATION: each leg's best is the min
+    * over its first k rounds, k = the smallest sample count across the
+    * point's legs. A kill/shed mid-round must not leave one leg with an
+    * extra (possibly luckier) sample in the ratio — the r3 asymmetric-
+    * sampling bias — which is also what makes launching a speculative
+    * round 2 safe: a truncated round falls back to round-1 numbers. All
+    * samples stay disclosed in runs_sec. */
+  private[graft] def legStatsFor(m: collection.Map[Int, Vector[Run]],
+                                 legCores: Seq[Int]): Seq[LegStat] = {
+    val present = legCores.filter(c => m.get(c).exists(_.nonEmpty))
+    val k =
+      if (present.size >= 2) present.map(c => m(c).size).min else Int.MaxValue
+    present.map { c =>
+      val rs = m(c)
+      val best = rs.take(k).minBy(_.sec)
+      LegStat(c, best.sec, best.triples / best.sec, best.taskSec,
+        best.gcSec, best.jitSec, rs.map(_.sec), best.warmup, best.fallback)
+    }
+  }
+
   private def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", v: java.lang.Double)
 
-  /** Parent-side warmup-mode choice for a leg whose main window is
-    * projected at `projMainSec`, given the seconds left before the
-    * deadline: full (~40-60 s idle, up to ~250 s contended) when
-    * comfortable, short (~20 s) when thin, skip when a cold leg with
-    * ~40-90 s of in-window JIT beats no leg at all. */
-  private[graft] def warmupMode(remainingSec: Double, projMainSec: Double): String =
-    if (remainingSec >= projMainSec + 300) "full"
-    else if (remainingSec >= projMainSec + 140) "short"
+  /** Parent-side warmup-mode choice for a ROUND (both legs share one
+    * mode — see runOnce) whose work is projected at `projSec`, given the
+    * seconds left before the deadline: full (~40-60 s per leg idle, up
+    * to ~250 s contended) when comfortable, short (~20 s) when thin,
+    * skip when a cold round with ~40-90 s of in-window JIT per leg
+    * beats no round at all. */
+  private[graft] def warmupMode(remainingSec: Double, projSec: Double): String =
+    if (remainingSec >= projSec + 300) "full"
+    else if (remainingSec >= projSec + 140) "short"
     else "skip"
 
   /** Projected FORK WALL (boot + warmup + main) for the next run of
     * (tag, cores), from measured samples of (mainSec, overheadSec):
-    *  - same (tag, cores) seen → worst sample × 1.1;
-    *  - same cores on another corpus → scale only the main window (the
-    *    overhead — boot + warmup — is corpus-size-independent) by the
-    *    page ratio^0.62, × 1.25 margin. The cost curve is strongly
-    *    SUBLINEAR in pages: per-page throughput rises with corpus size
-    *    (the distinct-mention pre-pass makes linking work sublinear, and
-    *    the fixed-KG stages amortize — BASELINE.md r2/r4). Measured
-    *    anchors: 24k→384k (16× pages) costs 3.8× at 1 core / 4.6× at 4;
-    *    384k→768k (2×) costs 1.66-1.8×. ratio^0.62 gives 5.6× and 1.54×
-    *    — conservative on the first, covered by the margin on the
-    *    second. A linear model would over-project the primary point ~4×
-    *    from the fast-window samples and wrongly shed it.
+    *  - same (tag, cores) seen → worst sample × 1.1 (a repeat round costs
+    *    what the observed regime says it costs);
+    *  - same cores on another corpus → BEST main sample × page
+    *    ratio^0.62 + worst overhead (boot + warmup is corpus-size-
+    *    independent), × 1.15. The min sample estimates the uncontended
+    *    machine — the same rationale as per-leg min-of-k — and the cost
+    *    curve is strongly SUBLINEAR in pages: per-page throughput rises
+    *    with corpus size (the distinct-mention pre-pass makes linking
+    *    work sublinear, and the fixed-KG stages amortize — BASELINE.md
+    *    r2/r4). Measured anchors: 24k→384k (16× pages) costs 3.8× at
+    *    1 core / 4.6× at 4; 384k→768k (2×) costs 1.66-1.8×. ratio^0.62
+    *    gives 5.6× and 1.54× — already above both anchors before the
+    *    margin. The r5 first rehearsal showed why the margins must stay
+    *    thin: worst-sample × 1.25 (compounded with a linear corpus-gen
+    *    model) projected ~3000 s for a primary point that fit with
+    *    ~400 s to spare, and shed it. Over-projection loses the point
+    *    with certainty; under-projection is recoverable — the mandatory
+    *    per-leg margin, the kill-timer and incremental emission turn an
+    *    overrun into a disclosed partial round, not a lost artifact.
     *  - nothing measured → generous priors (≈ contended idle figures).
     */
   private[graft] def projectLeg(
@@ -155,18 +186,33 @@ object Bench {
     else {
       val other = samples.collect {
         case ((t, c), v) if c == cores && v.nonEmpty && pagesOf.contains(t) =>
-          (pagesOf(t), (v.map(_._1).max, v.map(_._2).max))
+          (pagesOf(t), (v.map(_._1).min, v.map(_._2).max))
       }
       if (other.nonEmpty) {
         val (p0, (main0, over0)) = other.maxBy(_._1)
         val ratio = pagesOf(tag).toDouble / p0
-        (main0 * math.pow(ratio, 0.62) + over0) * 1.25
+        (main0 * math.pow(ratio, 0.62) + over0) * 1.15
       } else {
         val p = pagesOf.getOrElse(tag, 384000)
         if (cores <= 1) 0.0013 * p + 100 else 0.00055 * p + 90
       }
     }
   }
+
+  /** Projected corpus-generation wall for `pages`, from a measured gen
+    * of any size in the same JVM. Generation is a 32-core Fixtures →
+    * parquet write to tmpfs whose wall is almost entirely FIXED cost
+    * (codegen/JIT + planning + task dispatch), not data: measured on
+    * this box (spark-shell, local[32], /dev/shm) — 24k pages 17.6 s
+    * cold / 4.7 s warm, 384k pages 7.8 s warm, i.e. 16× the pages costs
+    * 1.7× warm and the marginal cost is ~8.6 µs/page. The r5 first
+    * rehearsal modeled gen as LINEAR in pages (genSmallWall × 16 × 1.4
+    * ≈ 1350 s for a write that takes ~10 s warm) and that projection
+    * alone shed the primary point. Here: half the measured baseline
+    * wall (its fixed share — the JIT part is already paid) plus the
+    * measured marginal with a ~4.5× contention margin. */
+  private[graft] def projectGen(measuredGenWall: Double, pages: Int): Double =
+    measuredGenWall * 0.6 + pages * 4.0e-5 + 8.0
 
   /** ~4 s single-vs-4-thread memcpy probe over heap arrays (>LLC-sized,
     * so it measures DRAM bandwidth): returns (single, aggregate-of-4)
@@ -474,13 +520,7 @@ object Bench {
     @volatile var lastLine = ""
 
     def pointStats: Seq[PointStat] = points.toSeq.map { case (tag, m) =>
-      PointStat(tag, tagPages(tag), legCores.flatMap { c =>
-        m.get(c).filter(_.nonEmpty).map { rs =>
-          val best = rs.minBy(_.sec)
-          LegStat(c, best.sec, best.triples / best.sec, best.taskSec,
-            best.gcSec, best.jitSec, rs.map(_.sec), best.warmup, best.fallback)
-        }
-      })
+      PointStat(tag, tagPages(tag), legStatsFor(m, legCores))
     }
     def emit(): Unit = synchronized {
       lastLine = buildLine(gateMins.toSeq.sortBy(_._1), sfDir, pointStats,
@@ -509,9 +549,12 @@ object Bench {
 
     var runIdx = 0
     /** One pinned leg; records the sample, emits, returns false when the
-      * bench should stop (killed) — shedding is signalled via `shed`. */
+      * bench should stop (killed) — shedding is signalled via `shed`.
+      * `wm` is the round's warmup mode, chosen ONCE per round: per-leg
+      * modes could put the 1-core leg's JIT inside the window while the
+      * 4-core leg's stays out, biasing the ratio within a round. */
     def runOnce(tag: String, cores: Int, pp: String, dp: String,
-                mandatory: Boolean): Unit = {
+                mandatory: Boolean, wm: String): Unit = {
       if (stopAll) return
       val proj = projFork(tag, cores)
       val margin = if (mandatory) proj * 0.75 else proj
@@ -526,7 +569,6 @@ object Bench {
       catch { case _: Exception => }
       runIdx += 1
       val work = s"$benchRoot/work-$tag-$cores-$runIdx"
-      val wm = warmupMode(remaining - reserve, proj)
       val killAfter = math.min(remaining + 60, math.max(proj * 3, 600))
       val (outcome, forkWall) = timed(forkLeg(pp, dp, work, cores, wm, killAfter))
       val run = outcome match {
@@ -565,16 +607,22 @@ object Bench {
       }
       emit()
     }
-    def oneRound(tag: String, pp: String, dp: String, mandatory: Boolean): Unit =
-      legCores.foreach(c => runOnce(tag, c, pp, dp, mandatory))
+    def oneRound(tag: String, pp: String, dp: String, mandatory: Boolean): Unit = {
+      val wm = warmupMode(remaining - reserve, projRound(tag))
+      legCores.foreach(c => runOnce(tag, c, pp, dp, mandatory, wm))
+    }
     /** Rounds are SYMMETRIC: a repeat round runs only when the WHOLE
       * round fits the remaining deadline — repeating one leg but not the
       * other would bias the per-leg-min ratio exactly the way the r3
       * one-shot rule did (the judge's r3/r4 finding). Round 1 of a point
-      * is mandatory (per-leg margin checks still apply). */
-    def gatedRound(tag: String, pp: String, dp: String, label: String): Boolean =
+      * is mandatory (per-leg margin checks still apply). `margin` < 1
+      * lets a high-value round (the primary point's round 2) launch
+      * speculatively: symmetric truncation in pointStats makes a
+      * truncated round harmless to the ratio. */
+    def gatedRound(tag: String, pp: String, dp: String, label: String,
+                   margin: Double = 1.0): Boolean =
       if (stopAll) false
-      else if (fits(projRound(tag))) {
+      else if (fits(projRound(tag) * margin)) {
         oneRound(tag, pp, dp, mandatory = false); true
       } else {
         shed :+= s"${label}_$tag"; emit(); false
@@ -621,7 +669,10 @@ object Bench {
       probe = try Some(memProbe()) catch { case _: Exception => None }
       emit()
 
-      // ---- 1. session + fast-window corpus + 2 interleaved rounds ----
+      // ---- 1. session + fast-window corpus + round 1 (round 2 is
+      //      optional work: the early number matters more than its
+      //      refinement, and the budget it frees is what lets the
+      //      primary point run TWO mandatory-priority rounds) ----
       val spark = gateSession(cpus, s"$benchRoot/gates-local")
       var genSmallWall = 0.0
       var smallPaths: Option[(String, String)] = None
@@ -630,7 +681,6 @@ object Bench {
         smallPaths = Some(paths); genSmallWall = w
         val (pp, dp) = paths
         oneRound(smallTag, pp, dp, mandatory = true)
-        gatedRound(smallTag, pp, dp, "round2")
       }
 
       // ---- 2. gate queries: pass 1 always; pass 2 immediately only if
@@ -654,31 +704,35 @@ object Bench {
         }
       }
 
-      // ---- 3. primary corpus + 2 interleaved rounds ----
+      // ---- 3. primary corpus + 2 interleaved rounds (round 2 at a 0.8
+      //      projection margin — see gatedRound; the gen itself is gated
+      //      on the calibrated projection so a hopeless regime doesn't
+      //      waste the write, and the pair is gated together so we never
+      //      burn a long 1-core leg whose 4-core partner can't follow) ----
       var primaryPaths: Option[(String, String)] = None
       var genPrimaryWall = 0.0
       if (nPages > 0 && !stopAll) {
         val genProj =
-          if (smallPages > 0)
-            genSmallWall * (nPages.toDouble / smallPages) * 1.4 + 10
-          else 120.0
-        if (fits(genProj + projRound(primaryTag))) {
+          if (smallPages > 0) projectGen(genSmallWall, nPages) else 60.0
+        if (fits(genProj + projRound(primaryTag) * 0.8)) {
           val (paths, w) = timed(genCorpus(spark, nPages, s"$benchRoot/cp"))
           primaryPaths = Some(paths); genPrimaryWall = w
-        } else shed :+= s"point_$primaryTag"
+        } else { shed :+= s"point_$primaryTag"; emit() }
       }
       spark.stop()
       primaryPaths.foreach { case (pp, dp) =>
         oneRound(primaryTag, pp, dp, mandatory = true)
-        gatedRound(primaryTag, pp, dp, "round2")
+        gatedRound(primaryTag, pp, dp, "round2", margin = 0.8)
       }
 
       // ---- 4. optional work, keep-priority order (what doesn't fit is
-      //      shed and recorded): deferred gate pass 2 → 2× corpus point →
-      //      spread-gated extra rounds (extra rounds are the first thing
-      //      to shed: they refine numbers that already exist, while the
-      //      pass-2 minima and the 2× point are evidence that otherwise
-      //      doesn't exist at all) ----
+      //      shed and recorded): deferred gate pass 2 → fast-window
+      //      round 2 → 2× corpus point → spread-gated extra primary
+      //      rounds → extra fast-window rounds. Pass-2 minima, the
+      //      fast-window min-of-2 and the 2× point are evidence that
+      //      otherwise doesn't exist; extra rounds only refine numbers
+      //      that do, so they shed first — and the primary point's
+      //      refinement outranks the fast window's ----
       if (deferredPass2 && !stopAll) {
         if (fits(pass1Wall * 1.3 + 20)) {
           val s2 = gateSession(cpus, s"$benchRoot/gates-local2")
@@ -686,29 +740,34 @@ object Bench {
           s2.stop()
           if (c2) gatePassesDone = 2 else shed :+= "gates_partial"
           emit()
-        } else shed :+= "gates_pass2"
+        } else { shed :+= "gates_pass2"; emit() }
+      }
+
+      smallPaths.foreach { case (pp, dp) =>
+        if (!stopAll && roundsRun(smallTag) < 2)
+          gatedRound(smallTag, pp, dp, "round2")
       }
 
       if (want2x && primaryPaths.isDefined && !stopAll) {
-        val genProj2 = genPrimaryWall * 2.4 + 10
+        val genProj2 = projectGen(genPrimaryWall, nPages * 2)
         if (fits(genProj2 + projRound(x2Tag))) {
           val s2 = gateSession(cpus, s"$benchRoot/gates-local3")
           val (paths2, _) = timed(genCorpus(s2, nPages * 2, s"$benchRoot/c2"))
           s2.stop()
           oneRound(x2Tag, paths2._1, paths2._2, mandatory = false)
-        } else shed :+= s"point_$x2Tag"
+        } else { shed :+= s"point_$x2Tag"; emit() }
       }
 
-      smallPaths.foreach { case (pp, dp) =>
-        var cont = true
-        while (cont && !stopAll && roundsRun(smallTag) < 4 && unstable(smallTag))
-          cont = gatedRound(smallTag, pp, dp, "extra")
-      }
       primaryPaths.foreach { case (pp, dp) =>
         var cont = true
         while (cont && !stopAll && roundsRun(primaryTag) < maxRounds &&
                unstable(primaryTag))
           cont = gatedRound(primaryTag, pp, dp, "extra")
+      }
+      smallPaths.foreach { case (pp, dp) =>
+        var cont = true
+        while (cont && !stopAll && roundsRun(smallTag) < 4 && unstable(smallTag))
+          cont = gatedRound(smallTag, pp, dp, "extra")
       }
     } catch {
       case e: Throwable =>

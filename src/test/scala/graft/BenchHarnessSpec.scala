@@ -113,13 +113,48 @@ class BenchHarnessSpec extends AnyFunSuite {
     val s = Map(("pages24k", 1) -> Vector((80.0, 60.0), (95.0, 65.0)))
     // own worst sample * 1.1
     assert(math.abs(Bench.projectLeg(s, pages, "pages24k", 1) - 160.0 * 1.1) < 1e-9)
-    // cross-corpus: main * 16^0.62 + overhead, * 1.25 — must stay well
-    // under a linear 16x blowup (which would shed a point that fits) yet
-    // above the measured ~3.8x cost
+    // cross-corpus: BEST main * 16^0.62 + worst overhead, * 1.15 — must
+    // stay well under a linear 16x blowup (which would shed a point that
+    // fits: the r5 first-rehearsal failure) yet above the measured ~3.8x
+    // cost anchor
     val p384 = Bench.projectLeg(s, pages, "pages384k", 1)
-    assert(p384 > 95.0 * 3.8 && p384 < (95.0 * 16 + 65) * 1.25 / 2, s"p384=$p384")
+    assert(math.abs(p384 - (80.0 * math.pow(16, 0.62) + 65.0) * 1.15) < 1e-9)
+    assert(p384 > 80.0 * 3.8 && p384 < (80.0 * 16 + 65) / 2, s"p384=$p384")
     // no samples for this core count: prior, not an exception
     assert(Bench.projectLeg(s, pages, "pages384k", 4) > 0)
+  }
+
+  test("corpus-gen projection: fixed-cost dominated, never page-linear") {
+    // measured: 24k gen 17.6 s cold / 4.7 s warm, 384k gen 7.8 s warm —
+    // the projection must cover the warm actual with margin but stay far
+    // below the linear model that shed the primary point in rehearsal 1
+    val p = Bench.projectGen(17.6, 384000)
+    assert(p > 7.8 && p < 120, s"genProj=$p")
+    // 2x point projected from the measured primary gen
+    val p2 = Bench.projectGen(7.8, 768000)
+    assert(p2 > 7.8 && p2 < 120, s"genProj2=$p2")
+  }
+
+  test("symmetric truncation: a leg's extra sample stays out of the ratio") {
+    def run(sec: Double) =
+      Bench.Run(10000L, sec, sec * 0.9, 1.0, 2.0, "full", fallback = false,
+        overheadSec = 40.0)
+    // interrupted round 2: local1 got a second (better) sample, local4
+    // didn't — the min must use only round 1 of each leg, while runs_sec
+    // discloses both samples
+    val m = Map(1 -> Vector(run(100.0), run(80.0)), 4 -> Vector(run(30.0)))
+    val legs = Bench.legStatsFor(m, Seq(1, 4))
+    assert(legs.map(_.cores) == Seq(1, 4))
+    assert(legs.head.sec == 100.0, "leg1 min must truncate to round 1")
+    assert(legs.head.runsSec == Seq(100.0, 80.0), "all samples disclosed")
+    assert(legs.last.sec == 30.0)
+    // complete rounds: min over all of them
+    val m2 = Map(1 -> Vector(run(100.0), run(80.0)),
+      4 -> Vector(run(30.0), run(25.0)))
+    assert(Bench.legStatsFor(m2, Seq(1, 4)).head.sec == 80.0)
+    // single leg: no truncation partner, min over own samples
+    val m3 = Map(1 -> Vector(run(100.0), run(80.0)))
+    assert(Bench.legStatsFor(m3, Seq(1, 4)).head.sec == 80.0)
   }
 
   test("entity cap: fixed-KG production shape") {
