@@ -155,6 +155,21 @@ object Bench {
     else if (remainingSec >= projSec + 140) "short"
     else "skip"
 
+  /** Round-level warmup choice: mandatory rounds floor at "short".
+    * "skip" only makes sense when the ~20-40 s a short warmup costs is
+    * what kills the leg — but a mandatory round runs even when its
+    * projection doesn't fit (0.75 margin), and a long leg pays the cold
+    * tax many times over: the r5 rehearsal-1 primary 1-core leg ran
+    * warmup=skip in a contended window and carried 372 s of in-window
+    * JIT + 271 s GC (868 s wall vs ~280-400 warmed). Optional rounds
+    * only launch when their projection fits with ≥140 s slack, so the
+    * floor never binds there. */
+  private[graft] def roundWarmup(remainingSec: Double, projSec: Double,
+                                 mandatory: Boolean): String = {
+    val m = warmupMode(remainingSec, projSec)
+    if (mandatory && m == "skip") "short" else m
+  }
+
   /** Projected FORK WALL (boot + warmup + main) for the next run of
     * (tag, cores), from measured samples of (mainSec, overheadSec):
     *  - same (tag, cores) seen → worst sample × 1.1 (a repeat round costs
@@ -574,6 +589,9 @@ object Bench {
       val run = outcome match {
         case LegOk(r) => Some(r.copy(overheadSec = math.max(0.0, forkWall - r.sec)))
         case LegKilled =>
+          // self-describing truncation: without this the artifact shows a
+          // one-legged point and an empty shed list (r5 rehearsal 1)
+          shed :+= s"killed_${tag}_c$cores"
           stopAll = true
           None
         case LegInfraFail =>
@@ -608,7 +626,7 @@ object Bench {
       emit()
     }
     def oneRound(tag: String, pp: String, dp: String, mandatory: Boolean): Unit = {
-      val wm = warmupMode(remaining - reserve, projRound(tag))
+      val wm = roundWarmup(remaining - reserve, projRound(tag), mandatory)
       legCores.foreach(c => runOnce(tag, c, pp, dp, mandatory, wm))
     }
     /** Rounds are SYMMETRIC: a repeat round runs only when the WHOLE
@@ -702,6 +720,21 @@ object Bench {
             emit()
           } else deferredPass2 = true
         }
+      }
+
+      // ---- 2b. bank a min-of-2 fast window BEFORE the primary point
+      //      when the budget says the primary's own refinement round
+      //      will be shed anyway (round1 + 0.8×round2 ≈ ×1.8): in that
+      //      regime the fast window is the artifact's likely headline
+      //      source and a single-shot ratio is exactly the r3 bias the
+      //      judge flagged — r5 rehearsal 1 recorded eff from ONE fast
+      //      round because the doomed primary gamble consumed the tail.
+      //      In comfortable regimes this is skipped and the fast round 2
+      //      keeps its place in the optional queue below. ----
+      smallPaths.foreach { case (pp, dp) =>
+        if (!stopAll && roundsRun(smallTag) < 2 && nPages > 0 &&
+            !fits(projRound(primaryTag) * 1.8))
+          gatedRound(smallTag, pp, dp, "round2")
       }
 
       // ---- 3. primary corpus + 2 interleaved rounds (round 2 at a 0.8

@@ -107,6 +107,16 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.warmupMode(350, 300) == "skip")
   }
 
+  test("mandatory rounds floor warmup at short; optional rounds don't") {
+    // a mandatory round runs even when its projection doesn't fit, and a
+    // long cold leg pays ~300 s of in-window JIT/GC for the ~30 s a short
+    // warmup costs (r5 rehearsal 1)
+    assert(Bench.roundWarmup(350, 300, mandatory = true) == "short")
+    assert(Bench.roundWarmup(350, 300, mandatory = false) == "skip")
+    assert(Bench.roundWarmup(1000, 300, mandatory = true) == "full")
+    assert(Bench.roundWarmup(470, 300, mandatory = true) == "short")
+  }
+
   test("projection: own samples dominate; cross-corpus scales sublinearly") {
     val pages = Map("pages24k" -> 24000, "pages384k" -> 384000,
       "pages768k" -> 768000)
