@@ -316,7 +316,10 @@ object Bench {
         Some(s""""gate_passes":$gatePasses"""),
         Some(s""""elapsed_sec":${elapsedSec.toInt}"""),
         Some(s""""deadline_sec":${deadlineSec.toInt}"""),
-        Some(s""""shed":${shed.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+        // distinct: the same unit can be shed at two decision points (e.g.
+        // the fast-window round 2 at the pre-primary bank AND in the
+        // optional queue) — one tag per lost unit, not one per decision
+        Some(s""""shed":${shed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
       ).flatten
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","pipeline":{${pipeFields.mkString(",")}}}"""
     }
