@@ -40,14 +40,22 @@ import org.apache.spark.sql.SparkSession
   *      is recorded in the artifact ("shed").
   *
   * Kill semantics (r4: a SIGTERM'd fork silently became an unpinned
-  * in-process leg, which then crashed): a forked leg that dies on a kill
-  * signal or overruns its kill-timer (rc 143/137/124) means the
-  * environment is tearing the bench down — stop starting work, emit what
-  * was measured, exit cleanly. The in-process fallback remains ONLY for
-  * genuine can't-fork environments (no taskset/classpath) and is tagged
-  * "fallback":true in the artifact, because an unpinned local[1] leg
-  * inside the 32-core JVM free-rides ~31 cores for GC/JIT — the exact
-  * measurement error the forked-pinned design exists to prevent.
+  * in-process leg, which then crashed): a forked leg that dies on an
+  * EXTERNAL kill signal (rc 143/137/124) means the environment is tearing
+  * the bench down — stop starting work, emit what was measured (including
+  * a contract line the leg printed before the kill landed in its
+  * teardown), exit cleanly. A leg that overruns OUR OWN kill-timer is a
+  * different event — it says this leg is too slow for its budget, not
+  * that anything external is killing us — so only that leg is shed
+  * (tagged timeout_*) and the bench continues with the work that still
+  * fits. The in-process fallback remains ONLY for genuine can't-fork
+  * environments (no taskset/classpath) AND only while no other
+  * SparkSession is live in this JVM (getOrCreate would return the
+  * 32-core gates session and stop() would kill the gate suite under it);
+  * it is tagged "fallback":true in the artifact, because an unpinned
+  * local[1] leg inside the 32-core JVM free-rides ~31 cores for GC/JIT —
+  * the exact measurement error the forked-pinned design exists to
+  * prevent.
   *
   * Leg scheduling (unchanged from r4, every rule measurement-backed):
   *  - SYMMETRIC INTERLEAVED ROUNDS (1,4, 1,4, …), per-leg MIN over
@@ -94,8 +102,13 @@ object Bench {
 
   private[graft] sealed trait LegOutcome
   private[graft] case class LegOk(run: Run) extends LegOutcome
-  /** rc 143/137/124 or our kill-timer: the environment is killing us. */
-  private[graft] case object LegKilled extends LegOutcome
+  /** external kill signal (rc 143/137/124): the environment is tearing the
+    * bench down. May still carry a measurement — a kill that lands in the
+    * leg's teardown arrives AFTER the contract line was printed. */
+  private[graft] case class LegKilled(run: Option[Run]) extends LegOutcome
+  /** OUR kill-timer fired: the leg is too slow for its budget in this
+    * regime — evidence about the leg, not of external teardown. */
+  private[graft] case object LegTimedOut extends LegOutcome
   /** could not exec / leg errored: in-process fallback is permitted. */
   private[graft] case object LegInfraFail extends LegOutcome
 
@@ -444,38 +457,43 @@ object Bench {
         java.util.concurrent.TimeUnit.SECONDS)
       if (!finished) {
         System.err.println(s"[bench] leg cores=$cores overran its " +
-          f"kill-timer (${killAfterSec}%.0fs) — killing and stopping the bench")
+          f"kill-timer (${killAfterSec}%.0fs) — killing the leg and shedding it")
         proc.destroyForcibly()
         proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
-        return LegKilled
+        return LegTimedOut
       }
       val rc = proc.exitValue()
       val out =
         try new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
         catch { case _: Exception => "" }
       val line = out.linesIterator.toSeq.reverse.find(_.startsWith("{\"cores\""))
+      val parsedRun: Option[Run] = line.flatMap { l =>
+        (jNum(l, "sec"), jNum(l, "triples")) match {
+          case (Some(sec), Some(tr)) =>
+            Some(Run(tr.toLong, sec,
+              jNum(l, "task_sec").getOrElse(0.0),
+              jNum(l, "gc_sec").getOrElse(0.0),
+              jNum(l, "jit_sec").getOrElse(0.0),
+              jStr(l, "warmup").getOrElse("full"),
+              fallback = false, overheadSec = 0.0))
+          case _ => None
+        }
+      }
       if (rc == 143 || rc == 137 || rc == 124) {
         // kill signal (SIGTERM/SIGKILL/timeout): the driver's deadline is
         // tearing the process tree down — do NOT substitute an unpinned
-        // in-process leg (r4's mistake); stop and emit what's measured
-        System.err.println(s"[bench] forked leg cores=$cores killed (rc=$rc)")
-        return LegKilled
+        // in-process leg (r4's mistake). A contract line that already
+        // printed means the kill landed in the leg's spark.stop() teardown,
+        // AFTER the measurement completed: that sample is valid — keep it.
+        System.err.println(s"[bench] forked leg cores=$cores killed (rc=$rc)" +
+          (if (parsedRun.nonEmpty) " after completing its measurement" else ""))
+        return LegKilled(parsedRun)
       }
       if (rc != 0 || line.isEmpty) {
         System.err.println(s"[bench] forked leg cores=$cores rc=$rc; out=$out")
         return LegInfraFail
       }
-      val l = line.get
-      (jNum(l, "sec"), jNum(l, "triples")) match {
-        case (Some(sec), Some(tr)) =>
-          LegOk(Run(tr.toLong, sec,
-            jNum(l, "task_sec").getOrElse(0.0),
-            jNum(l, "gc_sec").getOrElse(0.0),
-            jNum(l, "jit_sec").getOrElse(0.0),
-            jStr(l, "warmup").getOrElse("full"),
-            fallback = false, overheadSec = 0.0))
-        case _ => LegInfraFail
-      }
+      parsedRun.map(LegOk(_)).getOrElse(LegInfraFail)
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] fork failed (${e.getMessage})")
@@ -505,6 +523,9 @@ object Bench {
     // number lands in the artifact within minutes even contended (0 = off)
     val smallPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL_PAGES", "24000").toInt
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "6").toInt
+    // effective values: 1 (single pass) or 2 (min-of-2). The r5 flow is
+    // pass 1 + at most one more pass (immediate or deferred) — values >2
+    // are treated as 2, unlike the pre-r5 harness's unbudgeted loop
     val gatePassesWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_PASSES", "2").toInt
     val want2x = sys.env.getOrElse("SPARK_GRAFT_BENCH_2X", "1") != "0"
     val stableSpread =
@@ -591,27 +612,52 @@ object Bench {
       val (outcome, forkWall) = timed(forkLeg(pp, dp, work, cores, wm, killAfter))
       val run = outcome match {
         case LegOk(r) => Some(r.copy(overheadSec = math.max(0.0, forkWall - r.sec)))
-        case LegKilled =>
-          // self-describing truncation: without this the artifact shows a
-          // one-legged point and an empty shed list (r5 rehearsal 1)
+        case LegKilled(r) =>
+          // self-describing truncation: without the tag the artifact shows
+          // a one-legged point and an empty shed list (r5 rehearsal 1). A
+          // measurement the leg completed before dying in teardown is kept
+          // — the kill only stops FURTHER work.
           shed :+= s"killed_${tag}_c$cores"
           stopAll = true
+          r.map(x => x.copy(overheadSec = math.max(0.0, forkWall - x.sec)))
+        case LegTimedOut =>
+          // OUR kill-timer, not external teardown: this leg is too slow
+          // for its budget in the current regime — shed the sample but
+          // keep benching (the gate suite and other points fit their own
+          // projections, and every later unit re-checks the deadline).
+          // Stopping everything here would trade e.g. the whole gate
+          // suite for one pathological leg.
+          shed :+= s"timeout_${tag}_c$cores"
           None
         case LegInfraFail =>
-          // genuine can't-fork environment: unpinned in-process fallback,
-          // loudly tagged — it free-rides the full machine for GC/JIT
-          System.err.println(s"[bench] running cores=$cores IN-PROCESS " +
-            "(unpinned fallback — tagged in the artifact)")
-          try {
-            val s = BenchLeg.pipelineSession(cores)
-            val (tr, sec) = BenchLeg.runLeg(s, pp, dp, work)
-            s.stop()
-            Some(Run(tr, sec, 0, 0, 0, "inproc", fallback = true,
-              overheadSec = 0.0))
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[bench] in-process fallback failed: $e")
-              None
+          val live = org.apache.spark.sql.SparkSession.getDefaultSession
+            .exists(s => !s.sparkContext.isStopped)
+          if (live) {
+            // only one SparkContext exists per JVM: pipelineSession's
+            // getOrCreate would RETURN the live 32-core gates session
+            // (master/configs ignored), mislabel the unpinned sample as
+            // cores=N, and s.stop() would kill the gate suite under it —
+            // an in-process leg is impossible while that session is up
+            System.err.println(s"[bench] cannot run cores=$cores " +
+              "in-process while another SparkSession is active — shedding")
+            shed :+= s"infra_${tag}_c$cores"
+            None
+          } else {
+            // genuine can't-fork environment: unpinned in-process fallback,
+            // loudly tagged — it free-rides the full machine for GC/JIT
+            System.err.println(s"[bench] running cores=$cores IN-PROCESS " +
+              "(unpinned fallback — tagged in the artifact)")
+            try {
+              val s = BenchLeg.pipelineSession(cores)
+              val (tr, sec) = BenchLeg.runLeg(s, pp, dp, work)
+              s.stop()
+              Some(Run(tr, sec, 0, 0, 0, "inproc", fallback = true,
+                overheadSec = 0.0))
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[bench] in-process fallback failed: $e")
+                None
+            }
           }
       }
       // stage outputs are per-leg scratch; drop them so repeats can't
@@ -713,7 +759,9 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_GATES") && !stopAll) {
         val (complete1, w1) = gatePass(spark)
         pass1Wall = w1
-        gatePassesDone = 1
+        // documented contract (gatePass): gate_passes stays 0 until a pass
+        // COMPLETES — a nonzero value with gate_passes:0 reads as partial
+        gatePassesDone = if (complete1) 1 else 0
         if (!complete1) shed :+= "gates_partial"
         emit()
         if (gatePassesWanted > 1 && complete1) {

@@ -197,7 +197,7 @@ object BenchLeg {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = try {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(pagesPath, dumpPath, workDir, coresStr) = args
     val cores = coresStr.toInt
@@ -223,5 +223,25 @@ object BenchLeg {
     // legs = same work at both cluster sizes; the residual wall-ratio gap
     // is shared single-box memory bandwidth, not poor parallelism)
     println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples,"task_sec":${diag.taskSec}%.1f,"gc_sec":${diag.gcSec}%.1f,"jit_sec":${diag.jitSinceMark}%.1f,"warmup":"$mode","warmup_sec":$wWall%.1f}""")
+  } catch {
+    case e: Throwable =>
+      // a SIGTERM'd leg runs its shutdown hooks (which stop the
+      // SparkContext) while main is still mid-pipeline; the resulting
+      // "stopped SparkContext" throw is teardown noise, not a failure —
+      // keep the parent's inherited stderr (and the driver's recorded
+      // tail window) free of stack traces. The JVM's signal handler owns
+      // the exit code (143), so the parent still classifies the kill.
+      // A genuine failure with NO shutdown in progress rethrows loudly.
+      val shuttingDown =
+        try {
+          val probe = new Thread(() => ())
+          Runtime.getRuntime.addShutdownHook(probe)
+          Runtime.getRuntime.removeShutdownHook(probe)
+          false
+        } catch { case _: IllegalStateException => true }
+      if (shuttingDown)
+        System.err.println(
+          s"[bench-leg] aborting (JVM shutdown in progress): ${e.getMessage}")
+      else throw e
   }
 }

@@ -11,7 +11,9 @@ trap 'echo "PEAK java-RSS sum=${peak_sum}MB single=${peak_one}MB shm=${peak_shm}
 while :; do
   sum=0; one=0
   for p in $(pgrep -x java); do
-    rss=$(awk '/VmRSS/{print int($2/1024)}' "/proc/$p/status" 2>/dev/null || echo 0)
+    # END{...} so a status file WITHOUT a VmRSS line (zombie/exiting pid)
+    # still yields 0 instead of an empty string that breaks the arithmetic
+    rss=$(awk '/VmRSS/{r=int($2/1024)} END{print r+0}' "/proc/$p/status" 2>/dev/null || echo 0)
     sum=$((sum + rss))
     [ "$rss" -gt "$one" ] && one=$rss
   done
