@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
   * sizes the JIT warmup. Prints ONE JSON contract line parsed by Bench:
   * {"cores":N,"sec":S,"triples":T,"task_sec":A,"gc_sec":G,"jit_sec":J,
   *  "warmup":"full|short|skip","warmup_sec":W}
+  * (warmup_sec includes the post-warmup JIT-settle idle — see settleJit)
   * where sec (wall for Pipeline.run + triples count, after the session
   * is up — cluster-size comparisons should not include JVM/session
   * boot) is the measurement and the rest is regime evidence: task_sec
@@ -149,9 +150,7 @@ object BenchLeg {
           gcSec += m.jvmGCTime / 1e3
         }
       })
-    private def jitMs: Long =
-      java.lang.management.ManagementFactory.getCompilationMXBean
-        .getTotalCompilationTime
+    private def jitMs: Long = totalJitMs
     private var jit0 = 0L
     def mark(): Unit = {
       org.apache.spark.GraftListenerBridge.drainListeners(spark.sparkContext)
@@ -164,6 +163,39 @@ object BenchLeg {
       System.err.println(
         f"[bench-leg] $tag wall=$wall%.1f taskSec=$taskSec%.1f " +
           f"gcSec=$gcSec%.1f jitSec=$jitSinceMark%.1f")
+  }
+
+  private def totalJitMs: Long =
+    java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+
+  /** Drain the JIT compile queue OUTSIDE the timed window: idle the
+    * mutator in 3 s slices until the compiler threads go quiet (<0.8 s
+    * of compiler time per slice) or `capSec` elapses. Rationale: a
+    * warmup pass triggers the compilations, but the background compiler
+    * queue keeps burning CPU after the pass returns — on a pinned
+    * 1-core leg those threads then steal the core from the mutator
+    * INSIDE the measured window. Measured (dress 3, throttled host
+    * hour): 126 s of in-window compiler time on the 1-core 24k leg
+    * after a completed full warmup (wall 133.8 s vs 84-91 s in quiet
+    * hours), and the 4-core leg's [75, 28] s run spread was entirely
+    * in-window JIT. While the mutator sleeps the compiler has the
+    * pinned core to itself, so the queue drains at full speed; both
+    * legs run the same settle, and a real cluster's long-running warm
+    * executors have no in-window JIT at all. Returns the settle wall;
+    * the cost is charged to the leg's overhead (forkWall − sec) like
+    * the rest of warmup. */
+  private def settleJit(capSec: Double): Double = {
+    val t0 = System.nanoTime()
+    var last = totalJitMs
+    var quiet = false
+    while (!quiet && (System.nanoTime() - t0) / 1e9 < capSec) {
+      Thread.sleep(3000)
+      val now = totalJitMs
+      quiet = now - last < 800
+      last = now
+    }
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** JIT/classload warmup: one pipeline pass over a tiny slice of the
@@ -209,6 +241,8 @@ object BenchLeg {
       else {
         val t0 = System.nanoTime()
         warmup(spark, pagesPath, dumpPath, workDir, mode)
+        val settle = settleJit(if (mode == "full") 90.0 else 30.0)
+        System.err.println(f"[bench-leg] jit settle wall=$settle%.1f")
         (System.nanoTime() - t0) / 1e9
       }
     diag.report("warmup", wWall)
