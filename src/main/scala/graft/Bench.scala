@@ -98,7 +98,7 @@ object Bench {
     * projections must not multiply warmup cost by page ratios. */
   private[graft] case class Run(triples: Long, sec: Double, taskSec: Double,
       gcSec: Double, jitSec: Double, warmup: String, fallback: Boolean,
-      overheadSec: Double)
+      overheadSec: Double, coldSec: Double = 0.0)
 
   private[graft] sealed trait LegOutcome
   private[graft] case class LegOk(run: Run) extends LegOutcome
@@ -115,7 +115,7 @@ object Bench {
   /** Best-run stats for one leg of one corpus point. */
   private[graft] case class LegStat(cores: Int, sec: Double, tps: Double,
       taskSec: Double, gcSec: Double, jitSec: Double, runsSec: Seq[Double],
-      warmup: String, fallback: Boolean)
+      warmup: String, fallback: Boolean, coldSec: Double = 0.0)
 
   /** One corpus point: the same job at each parallelism level. */
   private[graft] case class PointStat(tag: String, pages: Int, legs: Seq[LegStat]) {
@@ -150,7 +150,8 @@ object Bench {
       val rs = m(c)
       val best = rs.take(k).minBy(_.sec)
       LegStat(c, best.sec, best.triples / best.sec, best.taskSec,
-        best.gcSec, best.jitSec, rs.map(_.sec), best.warmup, best.fallback)
+        best.gcSec, best.jitSec, rs.map(_.sec), best.warmup, best.fallback,
+        best.coldSec)
     }
   }
 
@@ -303,7 +304,8 @@ object Bench {
         val runs = l.runsSec.map(r => fmt(r, 0)).mkString("[", ",", "]")
         val warm = if (l.warmup != "full") s""","warmup":"${l.warmup}"""" else ""
         val fb = if (l.fallback) ""","fallback":true""" else ""
-        s""""local${l.cores}":{"sec":${fmt(l.sec, 1)},"triples_per_sec":${fmt(l.tps, 1)},"task_sec":${fmt(l.taskSec, 1)},"gc_sec":${fmt(l.gcSec, 1)},"jit_sec":${fmt(l.jitSec, 1)},"runs_sec":$runs$warm$fb}"""
+        val cold = if (l.coldSec > 0) s""","cold_sec":${fmt(l.coldSec, 1)}""" else ""
+        s""""local${l.cores}":{"sec":${fmt(l.sec, 1)},"triples_per_sec":${fmt(l.tps, 1)},"task_sec":${fmt(l.taskSec, 1)},"gc_sec":${fmt(l.gcSec, 1)},"jit_sec":${fmt(l.jitSec, 1)},"runs_sec":$runs$warm$fb$cold}"""
       }
       val pts = points.filter(_.legs.nonEmpty).map { p =>
         val e = p.eff.map(v => s""""eff":${fmt(v, 3)},""").getOrElse("")
@@ -422,7 +424,7 @@ object Bench {
     * after exit — no pipe to deadlock on while we enforce the
     * kill-timer); stderr is inherited for live diagnostics. */
   private def forkLeg(pagesPath: String, dumpPath: String, workDir: String,
-                      cores: Int, warmup: String,
+                      cores: Int, warmup: String, passes: Int,
                       killAfterSec: Double): LegOutcome = {
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
@@ -450,6 +452,7 @@ object Bench {
     try {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_LEG_WARMUP", warmup)
+      pb.environment().put("SPARK_GRAFT_LEG_PASSES", passes.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(outFile)
       val proc = pb.start()
@@ -475,7 +478,8 @@ object Bench {
               jNum(l, "gc_sec").getOrElse(0.0),
               jNum(l, "jit_sec").getOrElse(0.0),
               jStr(l, "warmup").getOrElse("full"),
-              fallback = false, overheadSec = 0.0))
+              fallback = false, overheadSec = 0.0,
+              coldSec = jNum(l, "cold_sec").getOrElse(0.0)))
           case _ => None
         }
       }
@@ -609,7 +613,18 @@ object Bench {
       runIdx += 1
       val work = s"$benchRoot/work-$tag-$cores-$runIdx"
       val killAfter = math.min(remaining + 60, math.max(proj * 3, 600))
-      val (outcome, forkWall) = timed(forkLeg(pp, dp, work, cores, wm, killAfter))
+      // in-JVM passes stay at 1 by default: a second "warm" pass was
+      // measured and does NOT remove the in-window JIT — Spark generates
+      // fresh whole-stage-codegen classes every run, so each pass re-JITs
+      // them from scratch (24k 1-core: pass 1 94.3 s / 83.9 s jit, pass 2
+      // 110.5 s / 80.9 s jit + 3× the GC from pass-1 checkpoint blocks).
+      // The per-run JIT is an irreducible per-run cost, identical at both
+      // core counts' windows, and fresh-JVM min-of-k stays the protocol;
+      // the env override remains for leg diagnostics (cold_sec disclosed).
+      val passes = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEG_PASSES", "1").toInt)
+      val (outcome, forkWall) =
+        timed(forkLeg(pp, dp, work, cores, wm, passes, killAfter))
       val run = outcome match {
         case LegOk(r) => Some(r.copy(overheadSec = math.max(0.0, forkWall - r.sec)))
         case LegKilled(r) =>

@@ -19,10 +19,20 @@ import org.apache.spark.sql.SparkSession
   *
   * args: pagesPath dumpPath workDir cores. env SPARK_GRAFT_LEG_WARMUP
   * (full|short|skip, set by the parent from its remaining deadline)
-  * sizes the JIT warmup. Prints ONE JSON contract line parsed by Bench:
+  * sizes the JIT warmup; SPARK_GRAFT_LEG_PASSES (default 1) runs the
+  * measured job that many times in THIS JVM and reports the fastest
+  * pass. Multi-pass is a DIAGNOSTIC, not the protocol: a second pass
+  * was measured NOT to run warm — Spark generates fresh whole-stage-
+  * codegen classes every run, so each pass re-JITs them from scratch
+  * (24k 1-core: pass 1 94.3 s wall / 83.9 s jit, pass 2 110.5 s /
+  * 80.9 s jit with 3× the GC from pass-1 localCheckpoint blocks). The
+  * ~50-110 s of in-window compiler time per pipeline run is an
+  * irreducible per-run cost at both core counts, not cold-JVM residue.
+  * Prints ONE JSON contract line parsed by Bench:
   * {"cores":N,"sec":S,"triples":T,"task_sec":A,"gc_sec":G,"jit_sec":J,
-  *  "warmup":"full|short|skip","warmup_sec":W}
-  * (warmup_sec includes the post-warmup JIT-settle idle — see settleJit)
+  *  "warmup":"full|short|skip","warmup_sec":W[,"cold_sec":C]}
+  * (warmup_sec includes the post-warmup JIT-settle idle — see settleJit;
+  * cold_sec, present when passes>1, discloses the cold pass-1 wall)
   * where sec (wall for Pipeline.run + triples count, after the session
   * is up — cluster-size comparisons should not include JVM/session
   * boot) is the measurement and the rest is regime evidence: task_sec
@@ -246,17 +256,34 @@ object BenchLeg {
         (System.nanoTime() - t0) / 1e9
       }
     diag.report("warmup", wWall)
-    diag.mark()
-    val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, workDir)
-    diag.settle()
-    diag.report("main", sec)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_LEG_PASSES", "1").toInt)
+    // (sec, triples, taskSec, gcSec, jitSec) per pass; each pass gets a
+    // fresh stage dir so the pipeline's _COMMITTED resume markers cannot
+    // leak work between passes (and no .cache()/.persist() exists in the
+    // pipeline for CacheManager to match across passes — verified)
+    val runs = (1 to passes).map { p =>
+      if (p > 1) {
+        val s = settleJit(30.0)
+        System.err.println(f"[bench-leg] inter-pass jit settle wall=$s%.1f")
+      }
+      diag.mark()
+      val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, s"$workDir/p$p")
+      diag.settle()
+      diag.report(s"main p$p", sec)
+      (sec, nTriples, diag.taskSec, diag.gcSec, diag.jitSinceMark)
+    }
+    if (runs.map(_._2).distinct.size > 1)
+      System.err.println(s"[bench-leg] WARNING: triples differ across passes: " +
+        runs.map(_._2).mkString(","))
+    val (sec, nTriples, taskSec, gcSec, jitSec) = runs.minBy(_._1)
+    val cold = if (passes > 1) f""","cold_sec":${runs.head._1}%.1f""" else ""
     spark.stop()
     // contract line (see object header): sec+triples are the measurement;
     // task/gc/jit/warmup are the regime evidence the artifact carries so
     // a sub-1.0 efficiency is attributable (near-equal task_sec across
     // legs = same work at both cluster sizes; the residual wall-ratio gap
     // is shared single-box memory bandwidth, not poor parallelism)
-    println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples,"task_sec":${diag.taskSec}%.1f,"gc_sec":${diag.gcSec}%.1f,"jit_sec":${diag.jitSinceMark}%.1f,"warmup":"$mode","warmup_sec":$wWall%.1f}""")
+    println(f"""{"cores":$cores,"sec":$sec%.3f,"triples":$nTriples,"task_sec":$taskSec%.1f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"warmup":"$mode","warmup_sec":$wWall%.1f$cold}""")
   } catch {
     case e: Throwable =>
       // a SIGTERM'd leg runs its shutdown hooks (which stop the
