@@ -36,8 +36,10 @@ import org.apache.spark.sql.SparkSession
   *   5. optional work in keep-priority order, each unit gated on a
   *      projected-fit check against measured samples: deferred gate
   *      pass 2 → fast-window round 2 → 2× corpus point → spread-gated
-  *      extra primary rounds → extra fast-window rounds. What gets shed
-  *      is recorded in the artifact ("shed").
+  *      extra primary rounds → extra fast-window rounds (these last use
+  *      OPTIMISTIC best-sample projections — see projectLeg — so one
+  *      throttled sample can't leave the deadline tail idle). What gets
+  *      shed is recorded in the artifact ("shed").
   *
   * Kill semantics (r4: a SIGTERM'd fork silently became an unpinned
   * in-process leg, which then crashed): a forked leg that dies on an
@@ -187,7 +189,16 @@ object Bench {
   /** Projected FORK WALL (boot + warmup + main) for the next run of
     * (tag, cores), from measured samples of (mainSec, overheadSec):
     *  - same (tag, cores) seen → worst sample × 1.1 (a repeat round costs
-    *    what the observed regime says it costs);
+    *    what the observed regime says it costs). With `optimistic` set —
+    *    used ONLY for the cheap fast-window EXTRA rounds — best sample ×
+    *    1.25 instead: one throttled window otherwise poisons every later
+    *    projection (dress runs 3/4/5 each left 400-630 s of deadline
+    *    UNSPENT while shedding extra_pages24k off a single 2-4× contended
+    *    sample), and the whole point of an extra round is sharpening the
+    *    per-leg min — the uncontended-machine estimate the min sample
+    *    itself is. Under-projection is recoverable by design (per-leg
+    *    margin, kill-timer, symmetric truncation, incremental emission);
+    *    over-projection loses the refinement with certainty;
     *  - same cores on another corpus → BEST main sample × page
     *    ratio^0.62 + worst overhead (boot + warmup is corpus-size-
     *    independent), × 1.15. The min sample estimates the uncontended
@@ -209,10 +220,13 @@ object Bench {
     */
   private[graft] def projectLeg(
       samples: Map[(String, Int), Vector[(Double, Double)]],
-      pagesOf: Map[String, Int], tag: String, cores: Int): Double = {
+      pagesOf: Map[String, Int], tag: String, cores: Int,
+      optimistic: Boolean = false): Double = {
     val own = samples.getOrElse((tag, cores), Vector.empty)
-    if (own.nonEmpty) (own.map(_._1).max + own.map(_._2).max) * 1.1
-    else {
+    if (own.nonEmpty) {
+      if (optimistic) (own.map(_._1).min + own.map(_._2).min) * 1.25
+      else (own.map(_._1).max + own.map(_._2).max) * 1.1
+    } else {
       val other = samples.collect {
         case ((t, c), v) if c == cores && v.nonEmpty && pagesOf.contains(t) =>
           (pagesOf(t), (v.map(_._1).min, v.map(_._2).max))
@@ -579,10 +593,10 @@ object Bench {
       deleteBenchRoot()
     }))
 
-    def projFork(tag: String, cores: Int): Double =
-      projectLeg(forkSamples.toMap, tagPages, tag, cores)
-    def projRound(tag: String): Double =
-      legCores.map(c => projFork(tag, c)).sum
+    def projFork(tag: String, cores: Int, optimistic: Boolean = false): Double =
+      projectLeg(forkSamples.toMap, tagPages, tag, cores, optimistic)
+    def projRound(tag: String, optimistic: Boolean = false): Double =
+      legCores.map(c => projFork(tag, c, optimistic)).sum
     def fits(projSec: Double): Boolean = remaining - reserve > projSec
     def unstable(tag: String): Boolean =
       points.get(tag).exists(m => legCores.exists { c =>
@@ -597,9 +611,13 @@ object Bench {
       * modes could put the 1-core leg's JIT inside the window while the
       * 4-core leg's stays out, biasing the ratio within a round. */
     def runOnce(tag: String, cores: Int, pp: String, dp: String,
-                mandatory: Boolean, wm: String): Unit = {
+                mandatory: Boolean, wm: String,
+                optimistic: Boolean = false): Unit = {
       if (stopAll) return
-      val proj = projFork(tag, cores)
+      // the optimistic flag carries into the per-leg margin too: an extra
+      // round admitted on best-sample projections must not have its legs
+      // re-shed by the worst-sample rule one call deeper
+      val proj = projFork(tag, cores, optimistic)
       val margin = if (mandatory) proj * 0.75 else proj
       if (remaining - reserve < margin) {
         shed :+= s"leg_${tag}_c$cores"
@@ -689,9 +707,10 @@ object Bench {
       }
       emit()
     }
-    def oneRound(tag: String, pp: String, dp: String, mandatory: Boolean): Unit = {
-      val wm = roundWarmup(remaining - reserve, projRound(tag), mandatory)
-      legCores.foreach(c => runOnce(tag, c, pp, dp, mandatory, wm))
+    def oneRound(tag: String, pp: String, dp: String, mandatory: Boolean,
+                 optimistic: Boolean = false): Unit = {
+      val wm = roundWarmup(remaining - reserve, projRound(tag, optimistic), mandatory)
+      legCores.foreach(c => runOnce(tag, c, pp, dp, mandatory, wm, optimistic))
     }
     /** Rounds are SYMMETRIC: a repeat round runs only when the WHOLE
       * round fits the remaining deadline — repeating one leg but not the
@@ -702,10 +721,10 @@ object Bench {
       * speculatively: symmetric truncation in pointStats makes a
       * truncated round harmless to the ratio. */
     def gatedRound(tag: String, pp: String, dp: String, label: String,
-                   margin: Double = 1.0): Boolean =
+                   margin: Double = 1.0, optimistic: Boolean = false): Boolean =
       if (stopAll) false
-      else if (fits(projRound(tag) * margin)) {
-        oneRound(tag, pp, dp, mandatory = false); true
+      else if (fits(projRound(tag, optimistic) * margin)) {
+        oneRound(tag, pp, dp, mandatory = false, optimistic); true
       } else {
         shed :+= s"${label}_$tag"; emit(); false
       }
@@ -864,9 +883,14 @@ object Bench {
           cont = gatedRound(primaryTag, pp, dp, "extra")
       }
       smallPaths.foreach { case (pp, dp) =>
+        // optimistic projections HERE only: these rounds exist to sharpen
+        // the fast window's per-leg min — the artifact's likely headline —
+        // and the deadline tail they spend was measured going idle in
+        // dress runs 3/4/5 (400-630 s unspent each) whenever one throttled
+        // sample inflated the worst-sample projection 2-4×
         var cont = true
-        while (cont && !stopAll && roundsRun(smallTag) < 4 && unstable(smallTag))
-          cont = gatedRound(smallTag, pp, dp, "extra")
+        while (cont && !stopAll && roundsRun(smallTag) < 6 && unstable(smallTag))
+          cont = gatedRound(smallTag, pp, dp, "extra", optimistic = true)
       }
     } catch {
       case e: Throwable =>

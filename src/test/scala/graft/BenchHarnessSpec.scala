@@ -134,6 +134,22 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.projectLeg(s, pages, "pages384k", 4) > 0)
   }
 
+  test("optimistic projection: best sample, so one throttled window can't starve extras") {
+    val pages = Map("pages24k" -> 24000)
+    // regime like dress 5: one clean sample, one 2.3x-contended one
+    val s = Map(("pages24k", 1) -> Vector((97.0, 100.0), (220.0, 250.0)))
+    val pess = Bench.projectLeg(s, pages, "pages24k", 1)
+    val opt = Bench.projectLeg(s, pages, "pages24k", 1, optimistic = true)
+    assert(math.abs(pess - 470.0 * 1.1) < 1e-9)
+    assert(math.abs(opt - 197.0 * 1.25) < 1e-9)
+    // the whole point: the optimistic extra round fits a ~400 s idle tail
+    // that the worst-sample projection would leave unspent
+    assert(opt < 400 && pess > 400)
+    // no own samples: optimism changes nothing (cross-corpus/prior paths)
+    assert(Bench.projectLeg(s, pages, "pages24k", 4, optimistic = true) ==
+      Bench.projectLeg(s, pages, "pages24k", 4))
+  }
+
   test("corpus-gen projection: fixed-cost dominated, never page-linear") {
     // measured: 24k gen 17.6 s cold / 4.7 s warm, 384k gen 7.8 s warm —
     // the projection must cover the warm actual with margin but stay far
