@@ -639,8 +639,12 @@ object Bench {
       // The per-run JIT is an irreducible per-run cost, identical at both
       // core counts' windows, and fresh-JVM min-of-k stays the protocol;
       // the env override remains for leg diagnostics (cold_sec disclosed).
+      // both names honored: BENCH_LEG_PASSES (parent-level) wins, else the
+      // leg-level name BenchLeg's own header documents — previously the
+      // latter was silently overwritten in the child env with the default
       val passes = math.max(1,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEG_PASSES", "1").toInt)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEG_PASSES",
+          sys.env.getOrElse("SPARK_GRAFT_LEG_PASSES", "1")).toInt)
       val (outcome, forkWall) =
         timed(forkLeg(pp, dp, work, cores, wm, passes, killAfter))
       val run = outcome match {
@@ -680,6 +684,9 @@ object Bench {
             // loudly tagged — it free-rides the full machine for GC/JIT
             System.err.println(s"[bench] running cores=$cores IN-PROCESS " +
               "(unpinned fallback — tagged in the artifact)")
+            if (passes > 1)
+              System.err.println("[bench] in-process fallback runs a single " +
+                s"pass — the $passes-pass diagnostic is fork-only")
             try {
               val s = BenchLeg.pipelineSession(cores)
               val (tr, sec) = BenchLeg.runLeg(s, pp, dp, work)
@@ -888,8 +895,11 @@ object Bench {
         // and the deadline tail they spend was measured going idle in
         // dress runs 3/4/5 (400-630 s unspent each) whenever one throttled
         // sample inflated the worst-sample projection 2-4×
+        // cap honors the same SPARK_GRAFT_BENCH_REPEATS knob as the
+        // primary-extras loop above (the fast window previously hardcoded 6)
         var cont = true
-        while (cont && !stopAll && roundsRun(smallTag) < 6 && unstable(smallTag))
+        while (cont && !stopAll && roundsRun(smallTag) < maxRounds &&
+               unstable(smallTag))
           cont = gatedRound(smallTag, pp, dp, "extra", optimistic = true)
       }
     } catch {

@@ -160,13 +160,12 @@ object BenchLeg {
           gcSec += m.jvmGCTime / 1e3
         }
       })
-    private def jitMs: Long = totalJitMs
     private var jit0 = 0L
     def mark(): Unit = {
       org.apache.spark.GraftListenerBridge.drainListeners(spark.sparkContext)
-      taskSec = 0.0; gcSec = 0.0; jit0 = jitMs
+      taskSec = 0.0; gcSec = 0.0; jit0 = totalJitMs
     }
-    def jitSinceMark: Double = (jitMs - jit0) / 1e3
+    def jitSinceMark: Double = (totalJitMs - jit0) / 1e3
     def settle(): Unit =
       org.apache.spark.GraftListenerBridge.drainListeners(spark.sparkContext)
     def report(tag: String, wall: Double): Unit =
@@ -251,7 +250,11 @@ object BenchLeg {
       else {
         val t0 = System.nanoTime()
         warmup(spark, pagesPath, dumpPath, workDir, mode)
-        val settle = settleJit(if (mode == "full") 90.0 else 30.0)
+        // cap is a safety valve, not a budget: every observed settle across
+        // the dress/stress runs finished quiet in one 3 s slice, and a
+        // capped-out settle would leave residual JIT asymmetrically inside
+        // the 1-core window — so the cap sits well above any observed need
+        val settle = settleJit(if (mode == "full") 150.0 else 45.0)
         System.err.println(f"[bench-leg] jit settle wall=$settle%.1f")
         (System.nanoTime() - t0) / 1e9
       }
@@ -261,16 +264,27 @@ object BenchLeg {
     // fresh stage dir so the pipeline's _COMMITTED resume markers cannot
     // leak work between passes (and no .cache()/.persist() exists in the
     // pipeline for CacheManager to match across passes — verified)
-    val runs = (1 to passes).map { p =>
-      if (p > 1) {
-        val s = settleJit(30.0)
-        System.err.println(f"[bench-leg] inter-pass jit settle wall=$s%.1f")
+    val runs = (1 to passes).flatMap { p =>
+      try {
+        if (p > 1) {
+          val s = settleJit(30.0)
+          System.err.println(f"[bench-leg] inter-pass jit settle wall=$s%.1f")
+        }
+        diag.mark()
+        val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, s"$workDir/p$p")
+        diag.settle()
+        diag.report(s"main p$p", sec)
+        Some((sec, nTriples, diag.taskSec, diag.gcSec, diag.jitSinceMark))
+      } catch {
+        // a failed LATER pass must not discard the banked earlier passes
+        // (e.g. transient scratch ENOSPC on pass 2 of a diagnostic run):
+        // report the min over completed passes. Pass 1 has nothing banked,
+        // so its failure stays fatal.
+        case e: Throwable if p > 1 =>
+          System.err.println(s"[bench-leg] pass $p failed (keeping " +
+            s"${p - 1} completed pass(es)): $e")
+          None
       }
-      diag.mark()
-      val (nTriples, sec) = runLeg(spark, pagesPath, dumpPath, s"$workDir/p$p")
-      diag.settle()
-      diag.report(s"main p$p", sec)
-      (sec, nTriples, diag.taskSec, diag.gcSec, diag.jitSinceMark)
     }
     if (runs.map(_._2).distinct.size > 1)
       System.err.println(s"[bench-leg] WARNING: triples differ across passes: " +
