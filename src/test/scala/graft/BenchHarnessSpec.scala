@@ -210,6 +210,11 @@ class BenchHarnessSpec extends AnyFunSuite {
     val (s1, s4) = Bench.memProbe()
     assert(s1 > 0.2, s"single-thread $s1 GB/s implausibly low")
     assert(s4 > s1 * 0.8, s"4-thread aggregate $s4 below single $s1")
-    assert(s4 / s1 / 4 <= 1.3, "scaling above 1 beyond noise")
+    // no upper bound on s4/s1: the probe measures the ENVIRONMENT, and a
+    // co-tenant hammering the box during the single-thread window makes
+    // the ratio legitimately exceed 4 (dress 10 recorded scaling 3.79 —
+    // single 1.27 GB/s vs 5.2-5.8 quiet). A spec that fails whenever the
+    // host is busy would flake in exactly the regimes the probe exists
+    // to document.
   }
 }
